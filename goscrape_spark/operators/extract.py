@@ -1,0 +1,357 @@
+"""HTML → interleaved span extraction (C17, C10, C12).
+
+Re-expresses the reference's htmlindex DOM walk (htmlindex/htmlindex.go:33-64,
+101-155) as a single offset-tracking scan over the raw document text, emitting
+the ``documents`` span schema of BASELINE.json:input_hint:
+
+    (kind, text, media_ref, offset)
+
+kinds: ``text`` (text runs), ``a``, ``img``, ``img-srcset``, ``link``,
+``script``, ``body-bg``, ``style-url``.
+
+The scanner also records raw value offsets (vstart/vend) so the rewrite stage
+(operators/rewrite.py) can splice adjusted references into the ORIGINAL bytes
+— sidestepping x/net/html's re-render normalization entirely (SURVEY §2.8
+C18: parity target is span-sequence equality, not byte-identical renders).
+
+Parser notes: the reference uses golang.org/x/net/html (a full HTML5 tree
+builder).  For the extraction semantics that matter — start tags with their
+attributes in document order, raw text content of style/script, comments
+skipped — a tolerant scanner is equivalent on non-pathological markup and is
+far cheaper inside Arrow batches.  Entities in attribute values and text are
+decoded like x/net/html does.
+
+Spark surface: :func:`extract_spans_df` (url+body → exploded span rows via
+``mapInPandas``) and :func:`documents_table` (span-array form).  No per-row
+Python: the scanner runs once per document inside Arrow batches.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urlmath import split_srcset
+from ..functions.urlnorm import GoURL, parse_url, resolve_reference
+from .cssx import css_extract
+
+# Tags and their URL-bearing attributes (htmlindex/attributes.go:54-81).
+NODES: dict[str, list[str]] = {
+    "a": ["href"],
+    "body": ["background"],
+    "img": ["src", "data-src", "srcset", "data-srcset"],
+    "link": ["href"],
+    "script": ["src"],
+    "style": [],  # css text content, parsed by the style parser
+}
+
+SRCSET_ATTRIBUTES = {"srcset", "data-srcset"}
+
+# kind emitted per (tag, attr-class)
+_KIND_BY_TAG = {"a": "a", "body": "body-bg", "img": "img", "link": "link",
+                "script": "script"}
+
+# tag that owns each span kind, for rebuilding per-tag URL lists (A1/A2)
+TAG_BY_KIND = {"a": "a", "img": "img", "img-srcset": "img", "link": "link",
+               "script": "script", "body-bg": "body", "style-url": "style"}
+
+# Raw-text elements: content is not parsed for tags (x/net/html behavior).
+_RAW_TEXT_TAGS = {"script", "style", "textarea", "title", "xmp", "iframe",
+                  "noembed", "noframes"}
+
+_TAG_OPEN_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9:-]*)")
+_ATTR_RE = re.compile(
+    r"""\s*([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
+)
+
+
+@dataclass(frozen=True)
+class Attr:
+    name: str
+    value: str      # entity-decoded raw value (NOT trimmed)
+    vstart: int     # raw value span in document text (excludes quotes)
+    vend: int
+    quote: str      # '"', "'", or '' for unquoted/value-less
+
+
+@dataclass(frozen=True)
+class Tag:
+    name: str
+    attrs: tuple[Attr, ...]
+    start: int
+    end: int        # end of the start tag ('>' + 1)
+    tag_idx: int
+    content_start: int = -1  # raw-text content range (style/script), else -1
+    content_end: int = -1
+
+
+@dataclass(frozen=True)
+class Span:
+    kind: str
+    text: str
+    media_ref: str
+    offset: int
+    tag_idx: int = -1
+    attr: str = ""
+    vstart: int = -1
+    vend: int = -1
+    token: str = ""  # full css token for style-url spans
+
+
+def scan_tags(text: str) -> tuple[list[Tag], list[tuple[int, int]]]:
+    """Scan document text; return (tags in document order, text runs)."""
+    tags: list[Tag] = []
+    text_runs: list[tuple[int, int]] = []
+    i, n = 0, len(text)
+    tag_idx = 0
+    run_start = 0
+
+    def flush_run(end: int) -> None:
+        nonlocal run_start
+        if end > run_start:
+            text_runs.append((run_start, end))
+
+    while i < n:
+        lt = text.find("<", i)
+        if lt == -1:
+            flush_run(n)
+            break
+        nxt = text[lt + 1 : lt + 2]
+        if text.startswith("<!--", lt):
+            flush_run(lt)
+            close = text.find("-->", lt + 4)
+            i = n if close == -1 else close + 3
+            run_start = i
+            continue
+        if nxt in ("!", "?"):
+            flush_run(lt)
+            close = text.find(">", lt)
+            i = n if close == -1 else close + 1
+            run_start = i
+            continue
+        if nxt == "/":
+            flush_run(lt)
+            close = text.find(">", lt)
+            i = n if close == -1 else close + 1
+            run_start = i
+            continue
+        m = _TAG_OPEN_RE.match(text, lt)
+        if not m:
+            i = lt + 1  # literal '<' inside text
+            continue
+        flush_run(lt)
+        name = m.group(1).lower()
+        j = m.end()
+        attrs: list[Attr] = []
+        seen_names: set[str] = set()
+        self_closing = False
+        while j < n:
+            # end of tag?
+            ws = j
+            while ws < n and text[ws] in " \t\r\n\f":
+                ws += 1
+            if ws < n and text[ws] == ">":
+                j = ws + 1
+                break
+            if ws + 1 < n and text[ws] == "/" and text[ws + 1] == ">":
+                self_closing = True
+                j = ws + 2
+                break
+            if ws < n and text[ws] == "/":
+                j = ws + 1
+                continue
+            am = _ATTR_RE.match(text, j)
+            if not am or am.end() == am.start():
+                j += 1
+                continue
+            aname = am.group(1).lower()
+            if am.group(2) is not None:
+                raw, q = am.group(2), '"'
+                vstart = am.start(2)
+            elif am.group(3) is not None:
+                raw, q = am.group(3), "'"
+                vstart = am.start(3)
+            elif am.group(4) is not None:
+                raw, q = am.group(4), ""
+                vstart = am.start(4)
+            else:
+                raw, q, vstart = "", "", am.end()
+            if aname not in seen_names:  # HTML5: first duplicate attr wins
+                seen_names.add(aname)
+                attrs.append(Attr(name=aname, value=_htmlmod.unescape(raw),
+                                  vstart=vstart, vend=vstart + len(raw),
+                                  quote=q))
+            j = am.end()
+        content_start = content_end = -1
+        end = j
+        if name in _RAW_TEXT_TAGS and not self_closing:
+            close_re = re.compile(r"</" + re.escape(name) + r"[\s>/]", re.I)
+            cm = close_re.search(text, j)
+            if cm:
+                content_start, content_end = j, cm.start()
+                gt = text.find(">", cm.start())
+                end = n if gt == -1 else gt + 1
+            else:
+                content_start, content_end = j, n
+                end = n
+        tags.append(Tag(name=name, attrs=tuple(attrs), start=lt, end=end,
+                        tag_idx=tag_idx, content_start=content_start,
+                        content_end=content_end))
+        tag_idx += 1
+        i = end
+        run_start = i
+    return tags, text_runs
+
+
+def extract_spans(text: str, base_url: str, include_text: bool = True) -> list[Span]:
+    """C17: document text -> span sequence in document order.
+
+    ``media_ref`` is the reference resolved against ``base_url`` exactly as
+    htmlindex does (htmlindex/htmlindex.go:108-115); unresolvable refs are
+    skipped (ibid:110).
+    """
+    base = parse_url(base_url)
+    tags, text_runs = scan_tags(text)
+    events: list[tuple[int, Span]] = []
+    offset = 0  # assigned after sorting by position
+    for tag in tags:
+        if tag.name == "style":
+            # styleParser (htmlindex/htmlindex.go:175-191): css refs of the
+            # text child, resolved against the page URL.
+            if tag.content_start < 0 or tag.content_end <= tag.content_start:
+                continue
+            css_text = text[tag.content_start : tag.content_end]
+            for ref in css_extract(css_text, base):
+                events.append(((tag.content_start + ref.start, 0), Span(
+                    kind="style-url", text=ref.src, media_ref=ref.resolved,
+                    offset=-1, tag_idx=tag.tag_idx, attr="",
+                    vstart=tag.content_start, vend=tag.content_end,
+                    token=ref.token)))
+            continue
+        attrlist = NODES.get(tag.name)
+        if attrlist is None:
+            continue
+        for attr in tag.attrs:
+            if attr.name not in attrlist:
+                continue
+            value = attr.value.strip()  # TrimSpace (htmlindex.go:128)
+            if attr.name in SRCSET_ATTRIBUTES:
+                for k, cand in enumerate(split_srcset(value)):
+                    ref = _resolve_or_none(base, cand)
+                    if ref is None:
+                        continue
+                    events.append(((attr.vstart, k), Span(
+                        kind="img-srcset", text=cand, media_ref=ref,
+                        offset=-1, tag_idx=tag.tag_idx, attr=attr.name,
+                        vstart=attr.vstart, vend=attr.vend)))
+            else:
+                ref = _resolve_or_none(base, value)
+                if ref is None:
+                    continue
+                events.append(((attr.vstart, 0), Span(
+                    kind=_KIND_BY_TAG[tag.name], text=value, media_ref=ref,
+                    offset=-1, tag_idx=tag.tag_idx, attr=attr.name,
+                    vstart=attr.vstart, vend=attr.vend)))
+    if include_text:
+        for rs, re_ in text_runs:
+            raw = text[rs:re_]
+            if raw.strip() == "":
+                continue
+            events.append(((rs, 0), Span(kind="text", text=_htmlmod.unescape(raw),
+                                    media_ref="", offset=-1,
+                                    vstart=rs, vend=re_)))
+    events.sort(key=lambda e: e[0])
+    out = []
+    for offset, (_, sp) in enumerate(events):
+        out.append(Span(kind=sp.kind, text=sp.text, media_ref=sp.media_ref,
+                        offset=offset, tag_idx=sp.tag_idx, attr=sp.attr,
+                        vstart=sp.vstart, vend=sp.vend, token=sp.token))
+    return out
+
+
+def _resolve_or_none(base: GoURL, reference: str) -> str | None:
+    try:
+        return resolve_reference(base, parse_url(reference)).string()
+    except ValueError:
+        return None
+
+
+def tag_urls(spans: list[Span], tag: str) -> list[str]:
+    """A1/A2: distinct, lexicographically sorted reference URLs for a tag
+    (htmlindex/htmlindex.go:67-89)."""
+    refs = {s.media_ref for s in spans
+            if TAG_BY_KIND.get(s.kind) == tag and s.media_ref}
+    return sorted(refs)
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+SPAN_FIELDS = ("kind string, text string, media_ref string, offset int, "
+               "tag_idx int, attr string, vstart int, vend int, token string")
+
+EXPLODED_SCHEMA = "url string, " + SPAN_FIELDS
+
+DOCUMENTS_SCHEMA = ("doc_id string, spans array<struct<kind:string,"
+                    "text:string,media_ref:string,offset:int>>")
+
+
+def _decode(body) -> str:
+    if body is None:
+        return ""
+    if isinstance(body, (bytes, bytearray, memoryview)):
+        return bytes(body).decode("utf-8", errors="replace")
+    return str(body)
+
+
+def extract_spans_df(fetched: DataFrame, url_col: str = "url",
+                     body_col: str = "body",
+                     include_text: bool = True) -> DataFrame:
+    """url+body rows -> exploded span rows, one Arrow batch at a time.
+
+    Input: DataFrame with (url string, body binary).  Output: one row per
+    span with the internal schema (url, kind, text, media_ref, offset,
+    tag_idx, attr, vstart, vend, token).
+    """
+    src = fetched.select(F.col(url_col).alias("url"), F.col(body_col).alias("body"))
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for url, body in zip(pdf["url"], pdf["body"]):
+                text = _decode(body)
+                for s in extract_spans(text, url, include_text=include_text):
+                    rows.append((url, s.kind, s.text, s.media_ref, s.offset,
+                                 s.tag_idx, s.attr, s.vstart, s.vend, s.token))
+            yield pd.DataFrame(rows, columns=["url", "kind", "text",
+                                              "media_ref", "offset",
+                                              "tag_idx", "attr", "vstart",
+                                              "vend", "token"])
+
+    return src.mapInPandas(run, schema=EXPLODED_SCHEMA)
+
+
+def documents_table(fetched: DataFrame, url_col: str = "url",
+                    body_col: str = "body") -> DataFrame:
+    """The BASELINE.json:input_hint table: (doc_id, spans array<struct>)."""
+    exploded = extract_spans_df(fetched, url_col, body_col)
+    return (
+        exploded
+        .groupBy(F.col("url").alias("doc_id"))
+        .agg(F.array_sort(F.collect_list(F.struct(
+            F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref"),
+        ))).alias("_spans"))
+        .select("doc_id", F.transform(
+            "_spans", lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"), s["offset"].alias("offset"))
+        ).alias("spans"))
+    )
