@@ -1,0 +1,107 @@
+"""Epoch admission: F1-F8 + W1 first-wins + J1 seen anti-join, as pure
+DataFrame operations.
+
+This is the distributed re-expression of ``shouldURLBeDownloaded``
+(scraper/checks.go:26-72).  The sequential loop considers candidates one at a
+time and mutates the seen set as it goes; the epoch-synchronous equivalent is
+
+1. scheme filter (F1) — candidates failing it never touch the seen set;
+2. dedup-key projection (F2+F3) as column expressions;
+3. within-epoch first-wins (W1): ``row_number() over (partition by dedup_key
+   order by <consideration order>) == 1`` where the consideration order is
+   the composite key (parent_seq, stage_rank, sub_rank, intra1, intra2) that
+   totally orders the sequential loop's candidate considerations (SURVEY
+   §3.4);
+4. cross-epoch dedup (J1): left_anti join against the global ``seen`` table
+   (optionally pre-filtered by a Bloom filter, operators/seen.py);
+5. ALL rows surviving 1-4 become seen-set inserts — including rows that the
+   action filters then reject (host/depth/include/exclude), reproducing the
+   reference's insert-before-reject semantics (scraper/checks.go:42-60).
+
+Scale notes: the first-wins window and the anti-join both shuffle on
+``dedup_key`` — the natural partitioning for a 10^10-key seen table.  The
+candidate side is typically orders of magnitude smaller than ``seen``; with
+the Bloom pre-filter only probable-duplicates reach the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import (
+    col_dedup_key,
+    col_host,
+    col_path,
+    col_scheme,
+    col_scheme_ok,
+)
+
+# composite consideration-order key (SURVEY §3.4)
+ORDER_COLS = ["parent_seq", "stage_rank", "sub_rank", "intra1", "intra2"]
+
+
+def with_url_parts(candidates: DataFrame, url_col: str = "url") -> DataFrame:
+    """Derive scheme/host/path columns from a fragment-free URL column.
+    Pure column expressions — stays inside whole-stage codegen."""
+    u = F.col(url_col)
+    return (candidates
+            .withColumn("scheme", col_scheme(u))
+            .withColumn("host", col_host(u))
+            .withColumn("path", col_path(u)))
+
+
+def _regex_filter(path: Column, includes: list[str], excludes: list[str]) -> Column:
+    """F7/F8: unanchored include/exclude regex over the URL path
+    (scraper/checks.go:63-96).  Java regex via rlike; fixture patterns are
+    pinned to the RE2/Java common subset (SURVEY §2.2 F7)."""
+    cond = F.lit(True)
+    if includes:
+        inc = F.lit(False)
+        for p in includes:
+            inc = inc | path.rlike(p)
+        cond = cond & inc
+    for p in excludes:
+        cond = cond & ~path.rlike(p)
+    return cond
+
+
+def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
+          max_depth: int, includes: list[str],
+          excludes: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Run epoch admission.
+
+    ``candidates`` needs columns: url (fragment-free), is_asset boolean,
+    depth int (the parent page's processing depth for a-links; anything for
+    assets) + ORDER_COLS.
+
+    Returns ``(inserts, survivors)``:
+      - inserts: rows whose dedup_key is appended to ``seen`` this epoch
+        (one row per key, the first-considered candidate);
+      - survivors: the subset of inserts that also passes the action filters
+        and should actually be fetched/enqueued.
+    """
+    parts = with_url_parts(candidates)
+    valid = parts.filter(col_scheme_ok(F.col("scheme")))
+    keyed = valid.withColumn(
+        "dedup_key",
+        col_dedup_key(F.col("url"), F.col("host"), F.col("path"),
+                      F.lit(seed_host)))
+
+    w = Window.partitionBy("dedup_key").orderBy(*[F.col(c) for c in ORDER_COLS])
+    first = (keyed
+             .withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .drop("_rn"))
+
+    inserts = first.join(seen.select("dedup_key"), on="dedup_key",
+                         how="left_anti")
+
+    page_ok = (F.col("host") == F.lit(seed_host))
+    if max_depth != 0:
+        page_ok = page_ok & (F.col("depth") < F.lit(max_depth))
+    action_ok = F.when(F.col("is_asset"), F.lit(True)).otherwise(page_ok)
+    action_ok = action_ok & _regex_filter(F.col("path"), includes, excludes)
+
+    survivors = inserts.filter(action_ok)
+    return inserts, survivors

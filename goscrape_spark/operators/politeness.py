@@ -1,0 +1,86 @@
+"""Per-host politeness scheduling (J5) and robots.txt exclusion (J4).
+
+Both are north_rule extensions — the reference's only politeness is the
+inline 429 backoff (scraper/http.go:18-23,50-77) and it has no robots
+support.  Design constraints:
+
+* Politeness must not change crawl ORDER (the reference's backoff blocks
+  inline, preserving order), so it is expressed as a ``not_before`` schedule:
+  the i-th fetch of a host within an epoch (in consideration order) may start
+  no earlier than ``i * delay``.  Pure column expressions — a rank per host
+  times the delay — no Python.  A real HTTP fetcher consumes the schedule
+  inside its per-host ``applyInPandas`` batch (fetches for one host land in
+  one group, sorted by schedule, slept between).
+
+* Robots rules ride a **broadcast** join on ``host`` (the rules table is tiny
+  relative to the frontier) and reject candidates whose path matches a
+  disallow prefix.  Like the include/exclude filters (F7/F8), robots
+  rejection happens AFTER seen-set insertion — a robots-blocked URL never
+  gets reconsidered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_politeness(df: DataFrame, delay_ms: int,
+                        host_col: str = "host",
+                        order_cols: list[str] | None = None,
+                        out_col: str = "not_before_ms") -> DataFrame:
+    """Assign per-host fetch offsets: 0, delay, 2*delay, ... in consideration
+    order.  Shuffles once on host — the same partitioning the fetch stage
+    needs anyway, so the exchange is reused."""
+    order_cols = order_cols or ["parent_seq", "stage_rank", "sub_rank",
+                                "intra1", "intra2"]
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(
+        out_col, (F.row_number().over(w) - F.lit(1)).cast("long") * F.lit(delay_ms))
+
+
+def retry_backoff_ms(attempts: Column, retry_delay_ms: int = 1500) -> Column:
+    """S2: total backoff time spent before attempt N under the reference's
+    LINEAR schedule (retries+1)*1500ms per wait (scraper/http.go:70-75 — the
+    comment says exponential; the code is linear).  Sum of 1..(attempts-1)
+    waits."""
+    n = attempts - F.lit(1)  # number of sleeps
+    return (n * (n + 1) / 2).cast("long") * F.lit(retry_delay_ms)
+
+
+def parse_robots_txt(text: str) -> list[str]:
+    """Minimal robots.txt: Disallow prefixes for User-agent: * groups."""
+    disallows: list[str] = []
+    applies = False
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            applies = value == "*"
+        elif field == "disallow" and applies and value:
+            disallows.append(value)
+    return disallows
+
+
+def robots_rules_df(spark, rules: dict[str, list[str]]) -> DataFrame:
+    rows = [(host, prefix) for host, prefixes in rules.items()
+            for prefix in prefixes]
+    return spark.createDataFrame(rows or [], "host string, disallow string")
+
+
+def apply_robots(candidates: DataFrame, rules: DataFrame,
+                 host_col: str = "host",
+                 path_col: str = "path") -> DataFrame:
+    """Drop candidates whose path starts with a disallow prefix for their
+    host.  Broadcast join: rules are tiny, candidates are huge."""
+    hits = (candidates.join(
+        F.broadcast(rules.withColumnRenamed("host", "_r_host")),
+        (F.col(host_col) == F.col("_r_host"))
+        & F.col(path_col).startswith(F.col("disallow")),
+        "inner")
+        .select(host_col, path_col).distinct())
+    return candidates.join(hits, on=[host_col, path_col], how="left_anti")

@@ -1,0 +1,123 @@
+r"""Distributed URL-seen set: exact table + Bloom pre-filter (A3/U2/J1).
+
+The reference's seen set is an in-memory Go hash set (scraper/checks.go:42-49,
+gotokit/set).  At 10^10 URLs that is ~1 TB of keys — far beyond one node.  The
+rebuild keeps the AUTHORITATIVE set as a ``seen`` table partitioned by
+``dedup_key`` hash (exactness comes from the left_anti join, J1) and layers a
+Bloom filter in front so that the overwhelmingly-common case — a candidate
+that has never been seen — never shuffles against the big table:
+
+    candidates --bloom probe--> {definitely-new}  ---------------------\
+                           \--> {maybe-seen} --anti-join vs seen--> new }--> union
+
+False positives only cost a join probe; false negatives cannot occur, so the
+result is exact.  The filter is built per-partition inside Arrow batches and
+merged with a bitwise OR (a ``treeAggregate``-shaped reduction done driver-side
+over per-partition bitmaps; at 10^10 keys you shard the filter by host-hash so
+each executor holds only its shard — see SURVEY §4.2 sizing).
+
+PySpark exposes no public DataFrame Bloom API, hence the NumPy implementation.
+Hashing: two independent 64-bit halves of blake2b, combined as h1 + i*h2
+(Kirsch-Mitzenmacher double hashing) — deterministic across processes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_pair(key: str) -> tuple[int, int]:
+    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
+    return (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1)
+
+
+class BloomFilter:
+    """Plain m-bit, k-hash Bloom filter over strings."""
+
+    def __init__(self, n_expected: int = 1_000_000, fp_rate: float = 0.01):
+        m = max(64, int(-n_expected * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = ((m + 63) // 64) * 64
+        self.k = max(1, round(self.m / n_expected * math.log(2)))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def add(self, key: str) -> None:
+        h1, h2 = _hash_pair(key)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            self.bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+
+    def might_contain(self, key: str) -> bool:
+        h1, h2 = _hash_pair(key)
+        for i in range(self.k):
+            pos = (h1 + i * h2) % self.m
+            if not (int(self.bits[pos >> 6]) >> (pos & 63)) & 1:
+                return False
+        return True
+
+    def merge(self, other: "BloomFilter") -> None:
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+
+
+class SeenSet:
+    """Bloom wrapper used by the crawler; the exact seen TABLE lives in the
+    crawl plan — this is only the pre-filter."""
+
+    def __init__(self, n_expected: int = 1_000_000, fp_rate: float = 0.01):
+        self.bloom = BloomFilter(n_expected, fp_rate)
+
+    def add_keys(self, keys: Iterable[str]) -> None:
+        for k in keys:
+            self.bloom.add(k)
+
+    def add_keys_df(self, df: DataFrame, key_col: str = "dedup_key") -> None:
+        """Build per-partition filters inside Arrow batches, merge by OR.
+
+        The per-partition build is the distributed part (runs where the data
+        is); the OR-merge reduction is tiny (m/8 bytes per partition)."""
+        m, k = self.bloom.m, self.bloom.k
+
+        def build(batches: Iterator) -> Iterator:
+            import pandas as pd
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.m, bf.k = m, k
+            bf.bits = np.zeros(m // 64, dtype=np.uint64)
+            any_rows = False
+            for pdf in batches:
+                for key in pdf[key_col]:
+                    bf.add(key)
+                    any_rows = True
+            if any_rows:
+                yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+        parts = df.select(key_col).mapInPandas(build, schema="bits binary")
+        for row in parts.collect():
+            self.bloom.bits |= np.frombuffer(row.bits, dtype=np.uint64)
+
+    def probe_df(self, df: DataFrame, key_col: str = "dedup_key",
+                 out_col: str = "might_contain") -> DataFrame:
+        """Add a boolean column: False rows are DEFINITELY new and can skip
+        the anti-join against the big seen table."""
+        m, k = self.bloom.m, self.bloom.k
+        payload = self.bloom.bits.tobytes()
+        spark = df.sparkSession
+        bc = spark.sparkContext.broadcast(payload)
+
+        def probe(batches: Iterator) -> Iterator:
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.m, bf.k = m, k
+            bf.bits = np.frombuffer(bc.value, dtype=np.uint64)
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[out_col] = [bf.might_contain(x) for x in pdf[key_col]]
+                yield pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields) + f", {out_col} boolean"
+        return df.mapInPandas(probe, schema=schema)

@@ -1,0 +1,486 @@
+"""Epoch-synchronous distributed crawl (the flagship plan).
+
+Re-expresses the reference's sequential BFS loop (scraper/scraper.go:152-236)
+as a DataFrame iteration that provably reproduces its crawl order and URL
+seen-set (SURVEY §3.4):
+
+* each **epoch** = one BFS level; the frontier is a DataFrame of pages with a
+  global discovery sequence number;
+* fetching is a **mock-fetch join** against the ``pages`` fixture table (J2,
+  the reference's own test seam, scraper/scraper_test.go:35-42); a real
+  crawler would swap in an ``applyInPandas``-per-host HTTP fetcher with the
+  same output schema (S1/S2);
+* per-page candidates (assets + links) are exploded from the extracted span
+  table, stage-ranked exactly like the sequential loop's consideration order
+  — link -> script -> body -> style assets (each lexicographically sorted,
+  A2/O1), then the images queue (body dups, img refs, CSS-discovered refs),
+  then a-links (scraper/download.go:19-65, scraper/scraper.go:219-233);
+* admission is the first-wins window + seen anti-join (operators/admission);
+* CSS-discovered images (cssProcessor, scraper/download.go:104-131) create an
+  in-epoch discovery dependency: link assets must be fetched before their
+  ``url()`` refs become candidates.  A short fixpoint loop re-runs admission
+  with the discovered candidates added; it converges immediately unless a
+  css-discovered image steals a dedup key from a later page's link asset
+  (possible but degenerate; the loop handles it exactly).
+
+Scale design (north_rule): frontier/seen shuffles hash on ``dedup_key`` /
+``host``; per-epoch state is checkpointed (localCheckpoint for tests,
+parquet snapshots + manifest via sources/storage.py for resumability); the
+optional Bloom pre-filter (operators/seen.py) keeps the 10^10-row seen table
+from being shuffled against small candidate sets; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig
+from ..functions.filetype import sniff_extension
+from ..functions.urlmath import get_file_path
+from ..functions.urlnorm import GoURL, parse_url
+from ..operators.admission import ORDER_COLS, admit
+from ..operators.cssx import css_extract
+from ..operators.extract import extract_spans_df
+from ..operators.rewrite import rewrite_document
+from ..operators.seen import SeenSet
+
+# stage ranks reproducing the sequential consideration order (SURVEY §3.4)
+STAGE_RANKS = {"page": 0, "link": 1, "script": 2, "body": 3, "style": 4,
+               "image": 5, "a": 6}
+
+CAND_SCHEMA = ("page_url string, parent_seq bigint, stage_rank int, "
+               "sub_rank int, intra1 int, intra2 int, url string, "
+               "is_asset boolean, depth int, stage string")
+
+FETCH_SCHEMA = ("url string, body binary, resp_url string, retry_after int")
+
+
+@dataclass
+class CrawlResult:
+    """Spark-side analogue of the library-embedding return surface
+    (SURVEY §3.2)."""
+
+    seen: DataFrame          # dedup_key, epoch
+    fetch_log: DataFrame     # ordered fetch records
+    documents: DataFrame     # exploded spans of fetched pages
+    output: DataFrame        # url, file_path, kind, is_page, epoch
+    epochs: int = 0
+    seed_host: str = ""
+
+    def seen_set(self) -> set[str]:
+        return {r.dedup_key for r in self.seen.select("dedup_key").collect()}
+
+    def ordered_fetches(self) -> list:
+        return (self.fetch_log
+                .orderBy("epoch", "parent_seq", "stage_rank", "sub_rank",
+                         "intra1", "intra2")
+                .collect())
+
+
+class Crawler:
+    """Distributed crawler over a mock-web ``pages`` DataFrame."""
+
+    def __init__(self, spark: SparkSession, config: CrawlConfig,
+                 pages: DataFrame, use_bloom: bool = False,
+                 checkpoint=None, max_epochs: int = 1000):
+        self.spark = spark
+        self.config = config
+        self.pages = pages.select(
+            F.col("url"), F.col("body"),
+            F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
+            F.coalesce(F.col("retry_after"), F.lit(0)).alias("retry_after"))
+        self.use_bloom = use_bloom
+        self.checkpoint = checkpoint
+        self.max_epochs = max_epochs
+
+        u = parse_url(config.url)
+        u = GoURL(scheme=u.scheme or "http", host=u.host, path=u.path,
+                  query=u.query)  # fragment strip + scheme default
+        self.seed = u
+        self.seed_host = u.host
+
+    # ------------------------------------------------------------------
+    def run(self) -> CrawlResult:
+        spark = self.spark
+        cfg = self.config
+
+        # seed admission, driver-side (scraper/scraper.go:157): the seed is
+        # one row; its key is inserted before everything else.
+        from ..functions.urlnorm import dedup_key as py_dedup_key
+        seed_key = py_dedup_key(self.seed, self.seed_host)
+        if not self._seed_admitted():
+            raise ValueError("start page is excluded from downloading")
+
+        seen = spark.createDataFrame([(seed_key, 0)], "dedup_key string, epoch int")
+        bloom = SeenSet() if self.use_bloom else None
+        if bloom is not None:
+            bloom.add_keys([seed_key])
+
+        frontier = spark.createDataFrame(
+            [(self.seed.string(), 0, 0)], "url string, depth int, seq bigint")
+
+        fetch_logs: list[DataFrame] = []
+        documents: list[DataFrame] = []
+        outputs: list[DataFrame] = []
+        next_seq = 1
+        epoch = 0
+
+        while epoch < self.max_epochs:
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+
+            fetched = self._fetch(frontier, epoch)
+            fetched = self._localckpt(fetched)
+
+            if epoch == 0:
+                fetched = self._rebase_seed(fetched)
+
+            pages_ok = fetched.filter(F.col("status") == "ok")
+            spans = extract_spans_df(
+                pages_ok.select(F.col("page_url").alias("url"), "body"),
+                include_text=True)
+            spans = self._localckpt(spans)
+
+            page_meta = pages_ok.select(
+                F.col("page_url"), F.col("seq").alias("parent_seq"),
+                F.col("depth"))
+            documents.append(spans.join(
+                page_meta.select("page_url", "depth"),
+                spans["url"] == page_meta["page_url"], "left")
+                .drop("page_url")
+                .withColumn("epoch", F.lit(epoch)))
+
+            candidates = self._base_candidates(spans, page_meta)
+            candidates = self._localckpt(candidates)
+
+            inserts, survivors, css_cands = self._admission_fixpoint(
+                candidates, seen, pages_ok)
+
+            # record fetches: the page fetches of this epoch + admitted assets
+            page_log = fetched.select(
+                F.col("req_url").alias("url"), F.lit("page").alias("kind"),
+                F.col("status"), F.col("attempts"),
+                F.col("seq").alias("parent_seq"),
+                F.lit(0).alias("stage_rank"), F.lit(0).alias("sub_rank"),
+                F.lit(0).alias("intra1"), F.lit(0).alias("intra2"),
+                F.col("depth"), F.lit(epoch).alias("epoch"),
+                F.lit("").alias("stage"))
+
+            assets = survivors.filter(F.col("is_asset"))
+            asset_fetch = self._fetch_assets(assets, epoch)
+            fetch_logs.append(page_log)
+            fetch_logs.append(asset_fetch)
+
+            # output table: pages (rewritten) + fetched assets
+            outputs.append(self._page_outputs(pages_ok, epoch))
+            outputs.append(self._asset_outputs(asset_fetch, epoch))
+
+            # seen append (insert-before-reject: ALL admitted keys)
+            delta = inserts.select("dedup_key").distinct() \
+                           .withColumn("epoch", F.lit(epoch + 1))
+            seen = self._localckpt(seen.unionByName(delta))
+            if bloom is not None:
+                bloom.add_keys([r.dedup_key for r in delta.select("dedup_key").collect()])
+
+            # next frontier: page survivors ordered by the composite key (W2)
+            next_pages = (survivors.filter(~F.col("is_asset"))
+                          .withColumn("_ord", F.row_number().over(
+                              Window.orderBy(*[F.col(c) for c in ORDER_COLS])))
+                          .select(F.col("url"),
+                                  (F.col("depth") + 1).alias("depth"),
+                                  (F.lit(next_seq) + F.col("_ord") - 1).alias("seq")))
+            next_pages = self._localckpt(next_pages)
+            n_next = next_pages.count()
+            next_seq += n_next
+            frontier = next_pages
+            if self.checkpoint is not None:
+                self.checkpoint.commit_epoch(epoch, frontier=frontier,
+                                             seen_delta=delta)
+            epoch += 1
+
+        empty_log = self.spark.createDataFrame(
+            [], "url string, kind string, status string, attempts int, "
+                "parent_seq bigint, stage_rank int, sub_rank int, intra1 int,"
+                " intra2 int, depth int, epoch int, stage string")
+        empty_doc = self.spark.createDataFrame(
+            [], "url string, kind string, text string, media_ref string, "
+                "offset int, tag_idx int, attr string, vstart int, vend int, "
+                "token string, depth int, epoch int")
+        empty_out = self.spark.createDataFrame(
+            [], "url string, file_path string, body binary, is_page boolean, "
+                "epoch int")
+        fetch_log = _union_all(fetch_logs, empty_log)
+        docs = _union_all(documents, empty_doc)
+        out = _union_all(outputs, empty_out)
+        return CrawlResult(seen=seen, fetch_log=fetch_log, documents=docs,
+                           output=out, epochs=epoch, seed_host=self.seed_host)
+
+    # ------------------------------------------------------------------
+    def _seed_admitted(self) -> bool:
+        from ..plans.simulator import Simulator
+        sim = Simulator(config=self.config, pages={})
+        return sim.should_download(self.seed, 0, False)
+
+    def _localckpt(self, df: DataFrame) -> DataFrame:
+        # eager: truncate lineage AND materialize once — every epoch state is
+        # consumed by several downstream actions, and without materialization
+        # the whole epoch chain would re-execute per action.
+        return df.localCheckpoint(eager=True)
+
+    def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
+        """J2 mock-fetch join + S2 retry semantics as columns.
+
+        The reference retries 429s inline with linear backoff
+        (scraper/http.go:50-96), so retry outcomes never change crawl order —
+        we compute the outcome directly: ok when retry_after <= max_retries,
+        else exhausted after max_retries+1 attempts."""
+        maxr = self.config.max_retries
+        joined = frontier.join(self.pages, on="url", how="left")
+        return joined.select(
+            F.col("url").alias("req_url"),
+            F.col("url").alias("page_url"), F.col("body"),
+            F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
+            F.col("depth"), F.col("seq"),
+            F.when(F.col("body").isNull(), F.lit("missing"))
+             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
+             .otherwise(F.lit("ok")).alias("status"),
+            F.when(F.col("body").isNull(), F.lit(1))
+             .when(F.col("retry_after") > maxr, F.lit(maxr + 1))
+             .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
+             .alias("attempts"),
+        ).withColumn("body", F.when(F.col("status") == "ok", F.col("body")))
+
+    def _rebase_seed(self, fetched: DataFrame) -> DataFrame:
+        """Depth-0 redirect rebase (scraper/scraper.go:193-198): the seed's
+        response URL becomes the base URL and host for the whole crawl."""
+        row = fetched.select("page_url", "resp_url", "status").first()
+        if row is None or row.status != "ok":
+            return fetched
+        if row.resp_url and row.resp_url != row.page_url:
+            new_u = parse_url(row.resp_url)
+            self.seed = GoURL(scheme=new_u.scheme, host=new_u.host,
+                              path=new_u.path, query=new_u.query)
+            self.seed_host = new_u.host
+            return fetched.withColumn(
+                "page_url",
+                F.when(F.col("page_url") == row.page_url,
+                       F.lit(row.resp_url)).otherwise(F.col("page_url")))
+        return fetched
+
+    # ------------------------------------------------------------------
+    def _base_candidates(self, spans: DataFrame, page_meta: DataFrame) -> DataFrame:
+        """Ranks 1-4 (link/script/body/style assets), 5 (images: body dups +
+        img refs), 6 (a-links) from the span table.  Per-tag lists are
+        distinct + lexicographically sorted (A2, htmlindex.go:67-89)."""
+        from ..operators.extract import TAG_BY_KIND
+
+        tag_expr = F.create_map(*[F.lit(x) for kv in TAG_BY_KIND.items()
+                                  for x in kv])[F.col("kind")]
+        tagged = (spans.filter(F.col("media_ref") != "")
+                  .withColumn("tag", tag_expr)
+                  .filter(F.col("tag").isNotNull()))
+
+        per_tag = (tagged.groupBy("url", "tag")
+                   .agg(F.array_sort(F.collect_set("media_ref")).alias("refs")))
+
+        per_page = (per_tag.groupBy("url")
+                    .pivot("tag", ["link", "script", "body", "style", "img", "a"])
+                    .agg(F.first("refs")))
+        for c in ("link", "script", "body", "style", "img", "a"):
+            per_page = per_page.withColumn(
+                c, F.coalesce(F.col(c), F.array().cast("array<string>")))
+
+        pm = page_meta
+        per_page = per_page.join(
+            pm, per_page["url"] == pm["page_url"], "inner").drop("url")
+
+        def stage(col_name: str, rank: int, is_asset: bool, stage_name: str,
+                  sub: int = 0) -> DataFrame:
+            return (per_page
+                    .select("page_url", "parent_seq", "depth",
+                            F.posexplode(F.col(col_name)).alias("intra1", "ref"))
+                    .select(
+                        F.col("page_url"), F.col("parent_seq"),
+                        F.lit(rank).alias("stage_rank"),
+                        F.lit(sub).alias("sub_rank"), F.col("intra1"),
+                        F.lit(0).alias("intra2"),
+                        F.substring_index(F.col("ref"), "#", 1).alias("url"),
+                        F.lit(is_asset).alias("is_asset"), F.col("depth"),
+                        F.lit(stage_name).alias("stage")))
+
+        images = per_page.withColumn("images", F.concat("body", "img"))
+        img_stage = (images
+                     .select("page_url", "parent_seq", "depth",
+                             F.posexplode("images").alias("intra1", "ref"))
+                     .select(F.col("page_url"), F.col("parent_seq"),
+                             F.lit(5).alias("stage_rank"),
+                             F.lit(0).alias("sub_rank"), F.col("intra1"),
+                             F.lit(0).alias("intra2"),
+                             F.substring_index(F.col("ref"), "#", 1).alias("url"),
+                             F.lit(True).alias("is_asset"), F.col("depth"),
+                             F.lit("image").alias("stage")))
+
+        return (stage("link", 1, True, "link")
+                .unionByName(stage("script", 2, True, "script"))
+                .unionByName(stage("body", 3, True, "body"))
+                .unionByName(stage("style", 4, True, "style"))
+                .unionByName(img_stage)
+                .unionByName(stage("a", 6, False, "a")))
+
+    # ------------------------------------------------------------------
+    def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
+                            pages_ok: DataFrame):
+        """Admission + in-epoch CSS discovery fixpoint (see module doc)."""
+        cfg = self.config
+        css_cands = None
+        prev_links: set | None = None
+        for _ in range(10):
+            all_cands = candidates if css_cands is None \
+                else candidates.unionByName(css_cands)
+            inserts, survivors = admit(all_cands, seen, self.seed_host,
+                                       cfg.max_depth, cfg.includes,
+                                       cfg.excludes)
+            inserts = self._localckpt(inserts)
+            survivors = self._localckpt(survivors)
+            link_rows = (survivors.filter(F.col("stage_rank") == 1)
+                         .select("page_url", "parent_seq", "intra1", "url")
+                         .collect())
+            if not link_rows and css_cands is None:
+                return inserts, survivors, css_cands  # no link assets at all
+            links = {(r.parent_seq, r.intra1, r.url) for r in link_rows}
+            if prev_links is not None and links == prev_links:
+                return inserts, survivors, css_cands
+            prev_links = links
+            css_cands = self._discover_css(link_rows, pages_ok)
+            if css_cands is None:
+                return inserts, survivors, None  # links yielded no css refs
+        return inserts, survivors, css_cands
+
+    def _discover_css(self, link_rows, pages_ok: DataFrame) -> DataFrame | None:
+        """cssProcessor discovery (scraper/download.go:104-131): fetch each
+        surviving link asset, extract its url() refs resolved against the
+        css file's own URL; candidates get sub_rank 1 so they sort after the
+        page's body+img image entries but before the next page's stages."""
+        if not link_rows:
+            return None
+        meta = self.spark.createDataFrame(
+            [(r.url, r.page_url, r.parent_seq, r.intra1) for r in link_rows],
+            "url string, page_url string, parent_seq bigint, link_intra int")
+        fetched = meta.join(self.pages, on="url", how="inner") \
+                      .filter(F.col("retry_after") <= self.config.max_retries)
+        depth_by_seq = {r.parent_seq: r.depth for r in
+                        pages_ok.select(F.col("seq").alias("parent_seq"),
+                                        "depth").collect()}
+
+        def run(batches) -> Iterator:
+            import pandas as pd
+            cols = ["page_url", "parent_seq", "stage_rank", "sub_rank",
+                    "intra1", "intra2", "url", "is_asset", "depth", "stage"]
+            for pdf in batches:
+                rows = []
+                for url, page_url, pseq, lintra, body in zip(
+                        pdf["url"], pdf["page_url"], pdf["parent_seq"],
+                        pdf["link_intra"], pdf["body"]):
+                    text = (bytes(body) if body is not None else b"") \
+                        .decode("utf-8", errors="replace")
+                    base = parse_url(url)
+                    for k, ref in enumerate(css_extract(text, base)):
+                        rows.append((page_url, pseq, 5, 1, int(lintra), k,
+                                     ref.resolved.split("#", 1)[0], True,
+                                     int(depth_by_seq.get(pseq, 0)),
+                                     "css-image"))
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = fetched.mapInPandas(run, schema=CAND_SCHEMA) \
+                     .localCheckpoint(eager=True)
+        return None if out.isEmpty() else out
+
+    # ------------------------------------------------------------------
+    def _fetch_assets(self, assets: DataFrame, epoch: int) -> DataFrame:
+        maxr = self.config.max_retries
+        joined = assets.join(self.pages, on="url", how="left")
+        return joined.select(
+            F.col("url"), F.lit("asset").alias("kind"),
+            F.when(F.col("body").isNull(), F.lit("missing"))
+             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
+             .otherwise(F.lit("ok")).alias("status"),
+            F.when(F.col("body").isNull(), F.lit(1))
+             .when(F.col("retry_after") > maxr, F.lit(maxr + 1))
+             .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
+             .alias("attempts"),
+            F.col("parent_seq"), F.col("stage_rank"), F.col("sub_rank"),
+            F.col("intra1"), F.col("intra2"), F.col("depth"),
+            F.lit(epoch).alias("epoch"), F.col("stage"),
+            F.col("body"))
+
+    def _page_outputs(self, pages_ok: DataFrame, epoch: int) -> DataFrame:
+        seed_host = self.seed_host
+        outdir = self.config.output_directory
+
+        def run(batches) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                urls, paths, bodies, is_pages = [], [], [], []
+                for url, body in zip(pdf["page_url"], pdf["body"]):
+                    raw = bytes(body) if body is not None else b""
+                    ext = sniff_extension(raw)
+                    is_page = ext == ""
+                    text = raw.decode("utf-8", errors="replace")
+                    if is_page:
+                        new_text, changed = rewrite_document(text, url, seed_host)
+                        out = new_text.encode("utf-8") if changed else raw
+                    else:
+                        out = raw
+                    u = parse_url(url)
+                    paths.append(get_file_path(u, seed_host, outdir, is_page))
+                    urls.append(url)
+                    bodies.append(out)
+                    is_pages.append(is_page)
+                yield pd.DataFrame({"url": urls, "file_path": paths,
+                                    "body": bodies, "is_page": is_pages})
+
+        return (pages_ok.select("page_url", "body")
+                .mapInPandas(run, schema="url string, file_path string, "
+                                         "body binary, is_page boolean")
+                .withColumn("epoch", F.lit(epoch)))
+
+    def _asset_outputs(self, asset_fetch: DataFrame, epoch: int) -> DataFrame:
+        seed_host = self.seed_host
+        outdir = self.config.output_directory
+        ok = asset_fetch.filter(F.col("status") == "ok")
+
+        def run(batches) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                urls, paths, bodies = [], [], []
+                for url, body in zip(pdf["url"], pdf["body"]):
+                    u = parse_url(url)
+                    paths.append(get_file_path(u, seed_host, outdir, False))
+                    urls.append(url)
+                    bodies.append(bytes(body) if body is not None else b"")
+                yield pd.DataFrame({"url": urls, "file_path": paths,
+                                    "body": bodies})
+
+        return (ok.select("url", "body")
+                .mapInPandas(run, schema="url string, file_path string, body binary")
+                .withColumn("is_page", F.lit(False))
+                .withColumn("epoch", F.lit(epoch)))
+
+
+def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
+    out = empty
+    for df in dfs:
+        out = out.unionByName(df.select(*empty.columns), allowMissingColumns=False)
+    return out
+
+
+def crawl(spark: SparkSession, config: CrawlConfig, pages: DataFrame,
+          **kwargs) -> CrawlResult:
+    """Library entry point (SURVEY §3.2): the Spark equivalent of
+    ``scraper.New(...)`` + ``Start``."""
+    return Crawler(spark, config, pages, **kwargs).run()
