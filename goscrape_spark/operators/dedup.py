@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each with a different cost/recall point at 100 TB:
+
+* exact       — md5(text) hash-groupBy; one shuffle on the 16-byte digest.
+* ngram-jaccard — exact n-gram-shingle Jaccard via a shingle self-join;
+                  quadratic in the worst case, exact answers; the oracle tier.
+* MinHash+LSH — signatures + banding: near-dup candidates meet in band
+                buckets; only candidates are verified. The scale path:
+                shuffle cost O(docs × bands), no pairwise blowup.
+* SimHash     — 64-bit sign-sum sketch; near-dups = small Hamming distance,
+                banded by 16-bit chunks (pigeonhole: ≤3 differing bits ⟹ one
+                of 4 chunks equal).
+
+Everything is DataFrame ops; the only Python is the NumPy SimHash batch
+(Arrow-vectorized).  MinHash permutations use (a*h+b) mod p over the first
+60 bits of md5 — deterministic, seedable, portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textops import shingles, words
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (rep_id, dup_count, text_hash); rep = min id."""
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    return (df.select(F.col(id_col), h)
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Dedup keeping the lowest-id representative row (first-wins, W1-style:
+    row_number over the hash partition)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.6) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id1 < id2, jaccard >= threshold).
+
+    Shingle-set self-join: |A∩B| via groupBy(shingle) pair expansion,
+    |A∪B| = |A|+|B|-|A∩B|.  Exact but worst-case quadratic — at scale,
+    run it only on MinHash-LSH candidates (minhash_lsh_pairs) as the
+    verification stage."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+                     .alias("shingle")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (inter.join(sa, "id1").join(sb, "id2")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard"))
+
+
+def _minhash_sig(text_col: str, num_perm: int, seed: int):
+    """MinHash signature array: min over shingles of (a_i*h + b_i) mod p,
+    h = first 60 bits of md5(shingle).  Deterministic in ``seed``."""
+    rnd = _lcg(seed)
+    # 28-bit hash x 31-bit coefficient stays < 2^60: no ANSI long overflow.
+    h = lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    sh = F.array_distinct(shingles(F.col(text_col)))
+    hs = F.transform(sh, h)
+    sigs = []
+    for i in range(num_perm):
+        a = (next(rnd) & 0x7FFFFFFF) | 1
+        b = next(rnd) & 0x7FFFFFFF
+        sigs.append(F.array_min(F.transform(
+            hs, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P))))
+    return F.array(*sigs)
+
+
+def _lcg(seed: int):
+    x = seed & 0x7FFFFFFFFFFF
+    while True:
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFF
+        yield x
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 32,
+                       seed: int = 42) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"),
+                     _minhash_sig(text_col, num_perm, seed).alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_perm: int = 32,
+                      bands: int = 8, seed: int = 42) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band bucket (id1 < id2).
+
+    rows_per_band = num_perm // bands; candidate probability follows the
+    classic (1 - (1 - j^r)^b) S-curve.  Shuffle is on (band, bucket-hash) —
+    O(docs × bands) rows, never pairwise."""
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, seed)
+    banded = sigs.select(
+        "id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bidx: F.md5(F.concat_ws(
+                "_", bidx.cast("string"),
+                F.concat_ws(",", F.transform(
+                    F.slice(F.col("sig"), bidx * r + 1, r),
+                    lambda x: x.cast("string"))))))).alias("band", "bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+            .distinct())
+
+
+def near_dup_minhash(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", num_perm: int = 32,
+                     bands: int = 8, threshold: float = 0.6,
+                     seed: int = 42) -> DataFrame:
+    """The full scale pipeline: LSH candidates -> exact Jaccard verify.
+    The verify join touches only candidate ids (broadcast when small)."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, seed)
+    ids = (cands.select(F.col("id1").alias("id"))
+           .union(cands.select("id2")).distinct())
+    subset = df.join(ids, df[id_col] == ids["id"], "leftsemi")
+    verified = ngram_jaccard_pairs(subset, id_col, text_col,
+                                   threshold=threshold)
+    return (cands.join(verified, ["id1", "id2"], "inner")
+            .select("id1", "id2", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word hashes (NumPy inside Arrow batches via
+    mapInPandas — vectorized, no per-row dispatch)."""
+    tokens = df.select(F.col(id_col).alias("id"),
+                       words(F.col(text_col)).alias("ws"))
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.uint64)
+            for i, toks in enumerate(pdf["ws"]):
+                if toks is None or len(toks) == 0:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for t in toks:
+                    h = int.from_bytes(hashlib.blake2b(
+                        t.encode(), digest_size=8).digest(), "little")
+                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) \
+                        & np.uint64(1)
+                    acc += np.where(bits == 1, 1, -1)
+                sig = np.uint64(0)
+                for bpos in range(64):
+                    if acc[bpos] > 0:
+                        sig |= np.uint64(1) << np.uint64(bpos)
+                out[i] = sig
+            yield pd.DataFrame({"id": pdf["id"],
+                                "simhash": out.view(np.int64)})
+
+    return tokens.mapInPandas(run, schema="id long, simhash long")
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: with n_chunks = max_hamming+1 disjoint bit chunks, a
+    pair within the distance bound shares at least one exact chunk ->
+    equi-join per chunk, then verify the true distance with bit_count
+    (JVM-side)."""
+    n_chunks = min(max_hamming + 1, 64)
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("simhash"), k * chunk_bits)
+             .bitwiseAND(F.lit(mask))
+            for k in range(n_chunks)])).alias("chunk_idx", "chunk"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+                    F.col("a.simhash").alias("s1"),
+                    F.col("b.simhash").alias("s2"))
+            .distinct())
+    return (cand.withColumn(
+                "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id1", "id2", "hamming"))

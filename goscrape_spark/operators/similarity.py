@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — brute-force exact top-k against a query vector,
+                         pure column expressions (F.aggregate/F.zip_with dot
+                         product); the correctness baseline.
+* ``rp_lsh_buckets``   — random-hyperplane (sign) LSH bucketing; the scale
+                         path: top-k probes only the query's bucket ring.
+* ``embedding_near_dup_pairs`` — pairwise cosine >= tau near-dup pairs via
+                         bucketed self-join (exact verify after LSH block).
+
+Hyperplanes are derived deterministically from a seed (no RNG state on
+executors; plain arithmetic on (seed, plane, dim) hashes) so results are
+stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``; ties break on id.
+
+    The plan is a full scan + projection + top-k sort: Spark's TakeOrdered
+    keeps only k rows per partition, so no global sort materializes."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return (df.select(F.col(id_col),
+                      F.round(cosine(vec, q), 6).alias("cosine_sim"))
+            .orderBy(F.desc("cosine_sim"), F.col(id_col))
+            .limit(k))
+
+
+def _hyperplane(seed: int, plane: int, dim: int) -> list[float]:
+    """Deterministic unit-ish hyperplane via hashed gaussians (Box-Muller on
+    hash-derived uniforms)."""
+    out = []
+    for d in range(0, dim, 2):
+        h = hashlib.blake2b(f"{seed}:{plane}:{d}".encode(),
+                            digest_size=16).digest()
+        u1 = (int.from_bytes(h[:8], "little") % (10 ** 12) + 1) / (10 ** 12 + 1)
+        u2 = (int.from_bytes(h[8:], "little") % (10 ** 12)) / (10 ** 12)
+        r = math.sqrt(-2 * math.log(u1))
+        out.append(r * math.cos(2 * math.pi * u2))
+        out.append(r * math.sin(2 * math.pi * u2))
+    return out[:dim]
+
+
+def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over n_planes
+    hyperplanes.  Column-expression dot products — no Python at run time."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(seed, p, dim)])
+        bits.append(F.when(_dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket
+    (falling back to full scan if the bucket has < k rows is left to the
+    caller; bench compares recall vs cosine_topk)."""
+    qbits = ""
+    for p in range(n_planes):
+        plane = _hyperplane(seed, p, dim)
+        dot = sum(a * b for a, b in zip(query_vec, plane))
+        qbits += "1" if dot >= 0 else "0"
+    bucketed = rp_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qbits), query_vec,
+                       k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.9,
+                             n_planes: int = 6, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             seed: int = 42) -> DataFrame:
+    """Cosine >= threshold pairs: LSH-blocked self-join + exact verify.
+
+    High-threshold near-dups almost always share the sign bucket; the
+    self-join runs per bucket (equi-join, shuffles on bucket), then the
+    exact cosine filters.  For guaranteed recall, union several seeds."""
+    b = rp_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed) \
+        .select(F.col(id_col).alias("id"), "bucket",
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    l = b.alias("l")
+    r = b.alias("r")
+    return (l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col("l.id") < F.col("r.id")))
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
+                    F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+                     .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
+
+
+def brute_force_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> DataFrame:
+    """Exact O(n^2) near-dup pairs — the oracle tier for small n."""
+    b = df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    l = b.alias("l")
+    r = b.alias("r")
+    return (l.join(r, F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"),
+                    F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+                     .alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold))
