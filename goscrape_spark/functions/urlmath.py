@@ -19,6 +19,9 @@ FNV-1a: output file names must be byte-identical to the reference's.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
 from .gopath import go_base, go_clean, go_dir, go_ext, go_join
 from .urlnorm import GoURL, parse_url, resolve_reference
 
@@ -185,6 +188,18 @@ def resolve_url(base: GoURL, reference: str, main_page_host: str,
     if out.startswith("/"):
         out = out[1:]
     return out
+
+
+def col_page_file_path(path: Column) -> Column:
+    """C7 as a pure column expression (scraper/fileutil.go:58-79):
+    ''/'/' -> index.html; dir/ -> dir/index.html; no extension -> +.html.
+    The extension test mirrors Go path.Ext: a dot in the final segment."""
+    return (
+        F.when((path == "") | (path == "/"), F.lit(PAGE_DIR_INDEX))
+        .when(path.endswith("/"), F.concat(path, F.lit(PAGE_DIR_INDEX)))
+        .when(~path.rlike(r"\.[^/]*$"), F.concat(path, F.lit(PAGE_EXTENSION)))
+        .otherwise(path)
+    )
 
 
 def split_srcset(value: str) -> list[str]:
