@@ -34,29 +34,55 @@ SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
 
 
-def _crawl_run(master: str, n_pages: int, shuffle_parts: int) -> dict:
-    """One crawl benchmark on a fresh session; returns timings + counts."""
+def _crawl_once(spark, n_pages: int) -> dict:
     from goscrape_spark.config import CrawlConfig
     from goscrape_spark.plans.crawl import crawl
-    from goscrape_spark.session import get_spark
     from goscrape_spark.sources.synth import seed_url, synthetic_site
+
+    pages = synthetic_site(spark, n_pages=n_pages, fanout=16,
+                           n_assets=max(100, n_pages // 20),
+                           n_ext_hosts=8).localCheckpoint(eager=True)
+    t0 = time.time()
+    res = crawl(spark, CrawlConfig(url=seed_url()), pages)
+    n_fetches = res.fetch_log.count()
+    n_seen = res.seen.count()
+    # materialize the rewritten output table too — rewrite is a hot-path
+    # stage (★ C4-C18) and must count toward throughput
+    res.output.write.format("noop").mode("overwrite").save()
+    dt = time.time() - t0
+    return {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
+            "epochs": res.epochs,
+            "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}
+
+
+def _crawl_worker(master: str, n_pages: int, shuffle_parts: int) -> None:
+    """Subprocess body: warmup crawl (JIT + worker pools), then timed run."""
+    from goscrape_spark.session import get_spark
 
     spark = get_spark(f"bench-crawl-{master}", master=master,
                       shuffle_partitions=shuffle_parts)
     try:
-        pages = synthetic_site(spark, n_pages=n_pages, fanout=8,
-                               n_assets=max(100, n_pages // 20),
-                               n_ext_hosts=8).localCheckpoint(eager=True)
-        t0 = time.time()
-        res = crawl(spark, CrawlConfig(url=seed_url()), pages)
-        n_fetches = res.fetch_log.count()
-        n_seen = res.seen.count()
-        dt = time.time() - t0
-        return {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
-                "epochs": res.epochs,
-                "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}
+        spark.sparkContext.setLogLevel("ERROR")
+        _crawl_once(spark, 2000)  # warmup
+        print("BENCH_RESULT " + json.dumps(_crawl_once(spark, n_pages)))
     finally:
         spark.stop()
+
+
+def _crawl_run(master: str, n_pages: int, shuffle_parts: int) -> dict:
+    """Run one crawl benchmark in an ISOLATED subprocess (fresh JVM) so that
+    JIT warmup from a previous parallelism level cannot bias the comparison."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-worker",
+         master, str(n_pages), str(shuffle_parts)],
+        capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCH_RESULT "):
+            return json.loads(line[len("BENCH_RESULT "):])
+    raise RuntimeError(f"crawl worker failed: {out.stderr[-2000:]}")
 
 
 def _sf_queries(spark) -> dict[str, float]:
@@ -119,4 +145,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
+        _crawl_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

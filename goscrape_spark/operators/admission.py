@@ -68,7 +68,7 @@ def _regex_filter(path: Column, includes: list[str], excludes: list[str]) -> Col
 
 def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
           max_depth: int, includes: list[str],
-          excludes: list[str]) -> tuple[DataFrame, DataFrame]:
+          excludes: list[str], bloom=None) -> tuple[DataFrame, DataFrame]:
     """Run epoch admission.
 
     ``candidates`` needs columns: url (fragment-free), is_asset boolean,
@@ -80,6 +80,15 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
         (one row per key, the first-considered candidate);
       - survivors: the subset of inserts that also passes the action filters
         and should actually be fetched/enqueued.
+
+    ``bloom`` (operators.seen.SeenSet, optional): pre-filter so that
+    definitely-new keys never shuffle against the big seen table; only
+    maybe-seen rows pay the anti-join.  Exactness is unaffected (no false
+    negatives; false positives just probe the join).
+
+    The two returned frames share one physical plan (survivors = filter of
+    inserts on the ``survived`` flag) so callers can checkpoint ``inserts``
+    once and derive both.
     """
     parts = with_url_parts(candidates)
     valid = parts.filter(col_scheme_ok(F.col("scheme")))
@@ -94,8 +103,15 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
              .filter(F.col("_rn") == 1)
              .drop("_rn"))
 
-    inserts = first.join(seen.select("dedup_key"), on="dedup_key",
-                         how="left_anti")
+    seen_keys = seen.select("dedup_key")
+    if bloom is None:
+        inserts = first.join(seen_keys, on="dedup_key", how="left_anti")
+    else:
+        probed = bloom.probe_df(first)
+        surely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
+        maybe_seen = probed.filter(F.col("might_contain")).drop("might_contain")
+        inserts = surely_new.unionByName(
+            maybe_seen.join(seen_keys, on="dedup_key", how="left_anti"))
 
     page_ok = (F.col("host") == F.lit(seed_host))
     if max_depth != 0:
@@ -103,5 +119,6 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
     action_ok = F.when(F.col("is_asset"), F.lit(True)).otherwise(page_ok)
     action_ok = action_ok & _regex_filter(F.col("path"), includes, excludes)
 
-    survivors = inserts.filter(action_ok)
+    inserts = inserts.withColumn("survived", action_ok)
+    survivors = inserts.filter(F.col("survived"))
     return inserts, survivors

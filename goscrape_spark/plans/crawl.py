@@ -94,6 +94,11 @@ class Crawler:
             F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
             F.coalesce(F.col("retry_after"), F.lit(0)).alias("retry_after"))
         self.use_bloom = use_bloom
+        self.bloom = None  # set in run()
+        self.robots = None
+        if config.robots_rules:
+            from ..operators.politeness import robots_rules_df
+            self.robots = robots_rules_df(spark, config.robots_rules)
         self.checkpoint = checkpoint
         self.max_epochs = max_epochs
 
@@ -116,9 +121,9 @@ class Crawler:
             raise ValueError("start page is excluded from downloading")
 
         seen = spark.createDataFrame([(seed_key, 0)], "dedup_key string, epoch int")
-        bloom = SeenSet() if self.use_bloom else None
-        if bloom is not None:
-            bloom.add_keys([seed_key])
+        self.bloom = SeenSet() if self.use_bloom else None
+        if self.bloom is not None:
+            self.bloom.add_keys([seed_key])
 
         frontier = spark.createDataFrame(
             [(self.seed.string(), 0, 0)], "url string, depth int, seq bigint")
@@ -128,11 +133,25 @@ class Crawler:
         outputs: list[DataFrame] = []
         next_seq = 1
         epoch = 0
+        n_frontier = 1  # the seed
+        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         while epoch < self.max_epochs:
-            n_frontier = frontier.count()
             if n_frontier == 0:
                 break
+
+            # Adaptive parallelism, sized by DATA not cores: shuffle stages
+            # in the loop move small metadata rows, so partition counts
+            # follow row volume (per-task overhead otherwise dominates — a
+            # 32-partition shuffle of 1k rows is pure scheduling cost).  The
+            # Python-heavy stages (extract/rewrite mapInPandas) are fanned
+            # out separately to all cores below.  The frontier is explicitly
+            # repartitioned because W2's global sequence window necessarily
+            # emitted a single partition.
+            parts = max(2, min(default_parts, n_frontier // 2000 + 1))
+            cpu_parts = max(2, min(default_parts, n_frontier // 50 + 1))
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            frontier = frontier.repartition(parts, "url")
 
             fetched = self._fetch(frontier, epoch)
             fetched = self._localckpt(fetched)
@@ -141,8 +160,11 @@ class Crawler:
                 fetched = self._rebase_seed(fetched)
 
             pages_ok = fetched.filter(F.col("status") == "ok")
+            # fan the CPU-heavy Arrow extraction out to all cores regardless
+            # of the (data-sized) shuffle partitioning
             spans = extract_spans_df(
-                pages_ok.select(F.col("page_url").alias("url"), "body"),
+                pages_ok.select(F.col("page_url").alias("url"), "body")
+                        .repartition(cpu_parts, "url"),
                 include_text=True)
             spans = self._localckpt(spans)
 
@@ -155,15 +177,23 @@ class Crawler:
                 .drop("page_url")
                 .withColumn("epoch", F.lit(epoch)))
 
+            # candidates stay lazy: derived from the checkpointed spans, they
+            # are consumed once (twice only when the CSS fixpoint iterates)
             candidates = self._base_candidates(spans, page_meta)
-            candidates = self._localckpt(candidates)
 
             inserts, survivors, css_cands = self._admission_fixpoint(
                 candidates, seen, pages_ok)
 
             # record fetches: the page fetches of this epoch + admitted assets
+            if cfg.politeness_delay_ms > 0:
+                page_not_before = (F.row_number().over(
+                    Window.orderBy("seq")) - 1).cast("long") \
+                    * F.lit(cfg.politeness_delay_ms)
+            else:
+                page_not_before = F.lit(0).cast("long")
             page_log = fetched.select(
                 F.col("req_url").alias("url"), F.lit("page").alias("kind"),
+                page_not_before.alias("not_before_ms"),
                 F.col("status"), F.col("attempts"),
                 F.col("seq").alias("parent_seq"),
                 F.lit(0).alias("stage_rank"), F.lit(0).alias("sub_rank"),
@@ -177,15 +207,19 @@ class Crawler:
             fetch_logs.append(asset_fetch)
 
             # output table: pages (rewritten) + fetched assets
-            outputs.append(self._page_outputs(pages_ok, epoch))
+            outputs.append(self._page_outputs(pages_ok, epoch, cpu_parts))
             outputs.append(self._asset_outputs(asset_fetch, epoch))
 
-            # seen append (insert-before-reject: ALL admitted keys)
-            delta = inserts.select("dedup_key").distinct() \
+            # seen append (insert-before-reject: ALL admitted keys).  The
+            # first-wins window already guarantees one row per key, so no
+            # distinct; the union stays lazy — every branch is a checkpoint,
+            # so lineage is shallow and nothing recomputes.
+            delta = inserts.select("dedup_key") \
                            .withColumn("epoch", F.lit(epoch + 1))
-            seen = self._localckpt(seen.unionByName(delta))
-            if bloom is not None:
-                bloom.add_keys([r.dedup_key for r in delta.select("dedup_key").collect()])
+            seen = seen.unionByName(delta)
+            if self.bloom is not None:
+                # distributed per-partition build, OR-merged driver-side
+                self.bloom.add_keys_df(delta)
 
             # next frontier: page survivors ordered by the composite key (W2)
             next_pages = (survivors.filter(~F.col("is_asset"))
@@ -198,15 +232,19 @@ class Crawler:
             n_next = next_pages.count()
             next_seq += n_next
             frontier = next_pages
+            n_frontier = n_next
             if self.checkpoint is not None:
                 self.checkpoint.commit_epoch(epoch, frontier=frontier,
                                              seen_delta=delta)
             epoch += 1
 
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+
         empty_log = self.spark.createDataFrame(
-            [], "url string, kind string, status string, attempts int, "
-                "parent_seq bigint, stage_rank int, sub_rank int, intra1 int,"
-                " intra2 int, depth int, epoch int, stage string")
+            [], "url string, kind string, not_before_ms bigint, status string,"
+                " attempts int, parent_seq bigint, stage_rank int, "
+                "sub_rank int, intra1 int, intra2 int, depth int, epoch int, "
+                "stage string")
         empty_doc = self.spark.createDataFrame(
             [], "url string, kind string, text string, media_ref string, "
                 "offset int, tag_idx int, attr string, vstart int, vend int, "
@@ -335,47 +373,50 @@ class Crawler:
     # ------------------------------------------------------------------
     def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
                             pages_ok: DataFrame):
-        """Admission + in-epoch CSS discovery fixpoint (see module doc)."""
+        """Admission + in-epoch CSS discovery fixpoint (see module doc).
+
+        Stability is detected by an order-insensitive signature of the
+        surviving link-asset set (count + sum of row hashes) — a 1-row
+        aggregate, no driver-side materialization of the set itself."""
         cfg = self.config
         css_cands = None
-        prev_links: set | None = None
+        prev_sig: tuple | None = None
         for _ in range(10):
             all_cands = candidates if css_cands is None \
                 else candidates.unionByName(css_cands)
             inserts, survivors = admit(all_cands, seen, self.seed_host,
                                        cfg.max_depth, cfg.includes,
-                                       cfg.excludes)
+                                       cfg.excludes, bloom=self.bloom)
             inserts = self._localckpt(inserts)
-            survivors = self._localckpt(survivors)
-            link_rows = (survivors.filter(F.col("stage_rank") == 1)
-                         .select("page_url", "parent_seq", "intra1", "url")
-                         .collect())
-            if not link_rows and css_cands is None:
+            survivors = inserts.filter(F.col("survived"))
+            if self.robots is not None:
+                from ..operators.politeness import apply_robots
+                survivors = apply_robots(survivors, self.robots)
+            link_surv = survivors.filter(F.col("stage_rank") == 1)
+            sig_row = link_surv.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("parent_seq", "intra1", "url")).alias("h")
+            ).first()
+            sig = (sig_row.n, sig_row.h)
+            if sig[0] == 0 and css_cands is None:
                 return inserts, survivors, css_cands  # no link assets at all
-            links = {(r.parent_seq, r.intra1, r.url) for r in link_rows}
-            if prev_links is not None and links == prev_links:
+            if prev_sig == sig:
                 return inserts, survivors, css_cands
-            prev_links = links
-            css_cands = self._discover_css(link_rows, pages_ok)
+            prev_sig = sig
+            css_cands = self._discover_css(link_surv)
             if css_cands is None:
                 return inserts, survivors, None  # links yielded no css refs
         return inserts, survivors, css_cands
 
-    def _discover_css(self, link_rows, pages_ok: DataFrame) -> DataFrame | None:
+    def _discover_css(self, link_surv: DataFrame) -> DataFrame | None:
         """cssProcessor discovery (scraper/download.go:104-131): fetch each
         surviving link asset, extract its url() refs resolved against the
         css file's own URL; candidates get sub_rank 1 so they sort after the
         page's body+img image entries but before the next page's stages."""
-        if not link_rows:
-            return None
-        meta = self.spark.createDataFrame(
-            [(r.url, r.page_url, r.parent_seq, r.intra1) for r in link_rows],
-            "url string, page_url string, parent_seq bigint, link_intra int")
+        meta = link_surv.select("url", "page_url", "parent_seq",
+                                F.col("intra1").alias("link_intra"), "depth")
         fetched = meta.join(self.pages, on="url", how="inner") \
                       .filter(F.col("retry_after") <= self.config.max_retries)
-        depth_by_seq = {r.parent_seq: r.depth for r in
-                        pages_ok.select(F.col("seq").alias("parent_seq"),
-                                        "depth").collect()}
 
         def run(batches) -> Iterator:
             import pandas as pd
@@ -383,17 +424,16 @@ class Crawler:
                     "intra1", "intra2", "url", "is_asset", "depth", "stage"]
             for pdf in batches:
                 rows = []
-                for url, page_url, pseq, lintra, body in zip(
+                for url, page_url, pseq, lintra, depth, body in zip(
                         pdf["url"], pdf["page_url"], pdf["parent_seq"],
-                        pdf["link_intra"], pdf["body"]):
+                        pdf["link_intra"], pdf["depth"], pdf["body"]):
                     text = (bytes(body) if body is not None else b"") \
                         .decode("utf-8", errors="replace")
                     base = parse_url(url)
                     for k, ref in enumerate(css_extract(text, base)):
                         rows.append((page_url, pseq, 5, 1, int(lintra), k,
                                      ref.resolved.split("#", 1)[0], True,
-                                     int(depth_by_seq.get(pseq, 0)),
-                                     "css-image"))
+                                     int(depth), "css-image"))
                 yield pd.DataFrame(rows, columns=cols)
 
         out = fetched.mapInPandas(run, schema=CAND_SCHEMA) \
@@ -403,9 +443,19 @@ class Crawler:
     # ------------------------------------------------------------------
     def _fetch_assets(self, assets: DataFrame, epoch: int) -> DataFrame:
         maxr = self.config.max_retries
+        if self.config.politeness_delay_ms > 0:
+            # J5: per-host politeness window; a real fetcher executes each
+            # host group in one applyInPandas batch honoring not_before_ms.
+            from ..operators.politeness import schedule_politeness
+            assets = schedule_politeness(assets,
+                                         self.config.politeness_delay_ms)
+        else:
+            assets = assets.withColumn("not_before_ms",
+                                       F.lit(0).cast("long"))
         joined = assets.join(self.pages, on="url", how="left")
         return joined.select(
             F.col("url"), F.lit("asset").alias("kind"),
+            F.col("not_before_ms"),
             F.when(F.col("body").isNull(), F.lit("missing"))
              .when(F.col("retry_after") > maxr, F.lit("exhausted"))
              .otherwise(F.lit("ok")).alias("status"),
@@ -418,9 +468,13 @@ class Crawler:
             F.lit(epoch).alias("epoch"), F.col("stage"),
             F.col("body"))
 
-    def _page_outputs(self, pages_ok: DataFrame, epoch: int) -> DataFrame:
+    def _page_outputs(self, pages_ok: DataFrame, epoch: int,
+                      cpu_parts: int = 0) -> DataFrame:
         seed_host = self.seed_host
         outdir = self.config.output_directory
+        if cpu_parts:
+            # the rewrite scan is the other CPU-heavy Arrow stage
+            pages_ok = pages_ok.repartition(cpu_parts, "page_url")
 
         def run(batches) -> Iterator:
             import pandas as pd

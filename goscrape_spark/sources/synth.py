@@ -41,13 +41,29 @@ def synthetic_site(spark: SparkSession, n_pages: int, fanout: int = 8,
     u2 = ((F.xxhash64(F.col("i"), F.lit(seed + 1)) % 100000 + 100000) % 100000) / 100000.0
     ext_host = F.floor(F.pow(u2, F.lit(skew)) * F.lit(n_ext_hosts)).cast("long")
 
-    img = F.concat(F.lit('<img src="https://a'), ext_host.cast("string"),
-                   F.lit(".assets.example.com/img/"), asset_id.cast("string"),
-                   F.lit('.png">'))
+    img = F.concat(
+        F.lit('<img src="https://a'), ext_host.cast("string"),
+        F.lit(".assets.example.com/img/"), asset_id.cast("string"),
+        F.lit('.png" srcset="/img/s'), asset_id.cast("string"),
+        F.lit('-480.png 480w, /img/s'), asset_id.cast("string"),
+        F.lit('-800.png 800w">'))
+
+    style = F.concat(
+        F.lit("<style>h1 { background: url('/img/bg"),
+        (F.col("i") % 17).cast("string"),
+        F.lit(".png'); } .x { background: url(/img/tile"),
+        (F.col("i") % 11).cast("string"), F.lit(".png); }</style>"))
+
+    # ~1.5 KB deterministic filler text: realistic extract/rewrite CPU load
+    filler = F.repeat(
+        F.concat(F.lit("lorem"), (F.col("i") % 97).cast("string"),
+                 F.lit(" ipsum dolor sit amet consectetur ")), 40)
 
     body = F.concat(
         F.lit("<html><head><title>p"), F.col("i").cast("string"),
-        F.lit("</title></head><body>\n"), img, F.lit("\n"), links,
+        F.lit("</title>\n"), style,
+        F.lit('</head>\n<body background="/img/body-bg.png">\n<p>'),
+        filler, F.lit("</p>\n"), img, F.lit("\n"), links,
         F.lit("\n</body></html>"))
 
     page_rows = pages.select(
