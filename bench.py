@@ -69,13 +69,14 @@ def _crawl_worker(master: str, n_pages: int, shuffle_parts: int) -> None:
         spark.stop()
 
 
-def _crawl_run(master: str, n_pages: int, shuffle_parts: int) -> dict:
+def _crawl_run(master: str, n_pages: int, shuffle_parts: int,
+               mode: str = "--crawl-worker") -> dict:
     """Run one crawl benchmark in an ISOLATED subprocess (fresh JVM) so that
     JIT warmup from a previous parallelism level cannot bias the comparison."""
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--crawl-worker",
+        [sys.executable, os.path.abspath(__file__), mode,
          master, str(n_pages), str(shuffle_parts)],
         capture_output=True, text=True, timeout=3000,
         cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -83,6 +84,72 @@ def _crawl_run(master: str, n_pages: int, shuffle_parts: int) -> dict:
         if line.startswith("BENCH_RESULT "):
             return json.loads(line[len("BENCH_RESULT "):])
     raise RuntimeError(f"crawl worker failed: {out.stderr[-2000:]}")
+
+
+def _steady_worker(master: str, n_pages: int, shuffle_parts: int) -> None:
+    """Steady-state operator benchmark: ONE huge frontier level through the
+    full hot path — mock-fetch join, Arrow span extraction, candidate
+    explosion, first-wins admission + anti-join, offline rewrite.
+
+    This is the per-epoch workload shape at 10^10-frontier scale, where
+    epochs are enormous and the loop's per-epoch job latency (a constant few
+    seconds) amortizes to nothing.  Unlike the tiny-epoch full-crawl runs it
+    is compute-dominated locally, so core-scaling efficiency measured here
+    reflects the plan, not local-mode scheduling artifacts."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.operators.admission import admit
+    from goscrape_spark.operators.extract import extract_spans_df
+    from goscrape_spark.operators.rewrite import rewrite_documents_df
+    from goscrape_spark.plans.crawl import Crawler
+    from goscrape_spark.session import get_spark
+    from goscrape_spark.sources.synth import seed_url, synthetic_site
+
+    spark = get_spark(f"bench-steady-{master}", master=master,
+                      shuffle_partitions=shuffle_parts)
+    try:
+        spark.sparkContext.setLogLevel("ERROR")
+        host = "bench.example.org"
+        pages = synthetic_site(spark, n_pages=n_pages, fanout=16,
+                               n_assets=max(100, n_pages // 20),
+                               n_ext_hosts=8).localCheckpoint(eager=True)
+        c = Crawler(spark, CrawlConfig(url=seed_url()), pages)
+        page_rows = pages.filter(F.col("url").startswith(f"https://{host}")) \
+            .select("url").repartition(shuffle_parts, "url") \
+            .localCheckpoint(eager=True)
+
+        def run_once(rows) -> dict:
+            frontier = rows.select(
+                "url", F.lit(0).alias("depth"),
+                F.row_number().over(Window.orderBy("url")).cast("long")
+                 .alias("seq")).repartition(shuffle_parts, "url")
+            fetched = c._fetch(frontier, 0)
+            pages_ok = fetched.filter(F.col("status") == "ok")
+            bodies = pages_ok.select(F.col("page_url").alias("url"), "body") \
+                             .repartition(shuffle_parts, "url")
+            spans = extract_spans_df(bodies, minimal=True)
+            page_meta = pages_ok.select("page_url",
+                                        F.col("seq").alias("parent_seq"),
+                                        "depth")
+            cands = c._base_candidates(spans, page_meta)
+            seen = spark.createDataFrame([], "dedup_key string")
+            inserts, _surv = admit(cands, seen, host, 0, [], [])
+            t0 = time.time()
+            n_inserts = inserts.count()
+            rewrite_documents_df(bodies, host).write \
+                .format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            n_pages_done = rows.count()
+            return {"sec": round(dt, 3), "pages": n_pages_done,
+                    "discovered": n_inserts,
+                    "urls_per_sec": round((n_pages_done + n_inserts) / dt, 1)}
+
+        run_once(page_rows.limit(2000).localCheckpoint(eager=True))  # warmup
+        print("BENCH_RESULT " + json.dumps(run_once(page_rows)))
+    finally:
+        spark.stop()
 
 
 def _sf_queries(spark) -> dict[str, float]:
@@ -120,16 +187,29 @@ def main() -> None:
     finally:
         spark.stop()
 
-    # 3) scaling evidence: same input at 1/4 the cores
+    # 3) scaling evidence (N vs 4N cores): steady-state operator benchmark —
+    # one huge frontier level through fetch/extract/admission/rewrite, sized
+    # so compute dominates.  Both levels stay under-subscribed on the 32-core
+    # host (each Spark task pairs a JVM thread with a Python Arrow worker, so
+    # local[16] keeps ~32 busy; local[32] would oversubscribe and understate
+    # 4N honestly achievable on a real 4N-executor cluster).
     scaling = {}
     if SCALING:
-        crawl8 = _crawl_run(f"local[{max(1, CPUS // 4)}]", CRAWL_PAGES,
-                            max(1, CPUS // 4))
-        thr_small, thr_big = crawl8["urls_per_sec"], crawl32["urls_per_sec"]
+        n_small, n_big = 4, 16
+        steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "300000"))
+        s_small = _crawl_run(f"local[{n_small}]", steady_pages, n_small,
+                             mode="--steady-worker")
+        s_big = _crawl_run(f"local[{n_big}]", steady_pages, n_big,
+                           mode="--steady-worker")
         scaling = {
-            f"local{max(1, CPUS // 4)}_urls_per_sec": thr_small,
-            f"local{CPUS}_urls_per_sec": thr_big,
-            "efficiency": round(thr_big / (4 * thr_small), 3),
+            "mode": "steady-state single-epoch operators",
+            "pages": steady_pages,
+            f"local{n_small}_urls_per_sec": s_small["urls_per_sec"],
+            f"local{n_big}_urls_per_sec": s_big["urls_per_sec"],
+            f"local{n_small}_sec": s_small["sec"],
+            f"local{n_big}_sec": s_big["sec"],
+            "efficiency": round(
+                s_big["urls_per_sec"] / (4 * s_small["urls_per_sec"]), 3),
         }
 
     qtimes["crawl"] = crawl32["sec"]
@@ -147,5 +227,7 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if len(sys.argv) > 1 and sys.argv[1] == "--crawl-worker":
         _crawl_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--steady-worker":
+        _steady_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     else:
         main()

@@ -281,6 +281,45 @@ def _resolve_or_none(base: GoURL, reference: str) -> str | None:
         return None
 
 
+def extract_media_refs(text: str, base_url: str) -> list[tuple[str, str]]:
+    """Fast path for the crawl loop: (kind, resolved_ref) pairs only.
+
+    Candidate generation needs just the tag-kind and the resolved reference —
+    per-tag lists get ``array_sort(collect_set(...))`` downstream, so span
+    offsets, text runs, and splice offsets are dead weight there.  Skipping
+    them (and the Span/sort machinery) makes this ~2-3x cheaper than
+    :func:`extract_spans` inside Arrow batches.
+    """
+    base = parse_url(base_url)
+    tags, _ = scan_tags(text)
+    out: list[tuple[str, str]] = []
+    for tag in tags:
+        if tag.name == "style":
+            if tag.content_start < 0 or tag.content_end <= tag.content_start:
+                continue
+            for ref in css_extract(text[tag.content_start:tag.content_end],
+                                   base):
+                out.append(("style-url", ref.resolved))
+            continue
+        attrlist = NODES.get(tag.name)
+        if attrlist is None:
+            continue
+        for attr in tag.attrs:
+            if attr.name not in attrlist:
+                continue
+            value = attr.value.strip()
+            if attr.name in SRCSET_ATTRIBUTES:
+                for cand in split_srcset(value):
+                    ref = _resolve_or_none(base, cand)
+                    if ref is not None:
+                        out.append(("img-srcset", ref))
+            else:
+                ref = _resolve_or_none(base, value)
+                if ref is not None:
+                    out.append((_KIND_BY_TAG[tag.name], ref))
+    return out
+
+
 def tag_urls(spans: list[Span], tag: str) -> list[str]:
     """A1/A2: distinct, lexicographically sorted reference URLs for a tag
     (htmlindex/htmlindex.go:67-89)."""
@@ -310,31 +349,62 @@ def _decode(body) -> str:
     return str(body)
 
 
+MINIMAL_SCHEMA = "url string, kind string, media_ref string"
+
+
 def extract_spans_df(fetched: DataFrame, url_col: str = "url",
                      body_col: str = "body",
-                     include_text: bool = True) -> DataFrame:
+                     include_text: bool = True,
+                     minimal: bool = False) -> DataFrame:
     """url+body rows -> exploded span rows, one Arrow batch at a time.
 
     Input: DataFrame with (url string, body binary).  Output: one row per
     span with the internal schema (url, kind, text, media_ref, offset,
-    tag_idx, attr, vstart, vend, token).
+    tag_idx, attr, vstart, vend, token) — or, with ``minimal=True``, the
+    3-column (url, kind, media_ref) fast path used by the crawl loop
+    (columns built as flat lists: no per-row tuple boxing).
     """
     src = fetched.select(F.col(url_col).alias("url"), F.col(body_col).alias("body"))
+
+    if minimal:
+        def run_min(batches) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                urls: list[str] = []
+                kinds: list[str] = []
+                refs: list[str] = []
+                for url, body in zip(pdf["url"], pdf["body"]):
+                    for kind, ref in extract_media_refs(_decode(body), url):
+                        urls.append(url)
+                        kinds.append(kind)
+                        refs.append(ref)
+                yield pd.DataFrame({"url": urls, "kind": kinds,
+                                    "media_ref": refs})
+
+        return src.mapInPandas(run_min, schema=MINIMAL_SCHEMA)
 
     def run(batches) -> Iterator:
         import pandas as pd
 
+        cols = ("url", "kind", "text", "media_ref", "offset", "tag_idx",
+                "attr", "vstart", "vend", "token")
         for pdf in batches:
-            rows = []
+            data: dict[str, list] = {c: [] for c in cols}
             for url, body in zip(pdf["url"], pdf["body"]):
                 text = _decode(body)
                 for s in extract_spans(text, url, include_text=include_text):
-                    rows.append((url, s.kind, s.text, s.media_ref, s.offset,
-                                 s.tag_idx, s.attr, s.vstart, s.vend, s.token))
-            yield pd.DataFrame(rows, columns=["url", "kind", "text",
-                                              "media_ref", "offset",
-                                              "tag_idx", "attr", "vstart",
-                                              "vend", "token"])
+                    data["url"].append(url)
+                    data["kind"].append(s.kind)
+                    data["text"].append(s.text)
+                    data["media_ref"].append(s.media_ref)
+                    data["offset"].append(s.offset)
+                    data["tag_idx"].append(s.tag_idx)
+                    data["attr"].append(s.attr)
+                    data["vstart"].append(s.vstart)
+                    data["vend"].append(s.vend)
+                    data["token"].append(s.token)
+            yield pd.DataFrame(data)
 
     return src.mapInPandas(run, schema=EXPLODED_SCHEMA)
 

@@ -32,6 +32,8 @@ from being shuffled against small candidate sets; AQE handles residual skew.
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -109,31 +111,49 @@ class Crawler:
         self.seed_host = u.host
 
     # ------------------------------------------------------------------
-    def run(self) -> CrawlResult:
+    def run(self, resume: bool = False) -> CrawlResult:
         spark = self.spark
         cfg = self.config
 
-        # seed admission, driver-side (scraper/scraper.go:157): the seed is
-        # one row; its key is inserted before everything else.
-        from ..functions.urlnorm import dedup_key as py_dedup_key
-        seed_key = py_dedup_key(self.seed, self.seed_host)
-        if not self._seed_admitted():
-            raise ValueError("start page is excluded from downloading")
+        resumed = None
+        if resume and self.checkpoint is not None:
+            resumed = self.checkpoint.resume_state(spark)
 
-        seen = spark.createDataFrame([(seed_key, 0)], "dedup_key string, epoch int")
+        if resumed is None:
+            # seed admission, driver-side (scraper/scraper.go:157): the seed
+            # is one row; its key is inserted before everything else.
+            from ..functions.urlnorm import dedup_key as py_dedup_key
+            seed_key = py_dedup_key(self.seed, self.seed_host)
+            if not self._seed_admitted():
+                raise ValueError("start page is excluded from downloading")
+            seen = spark.createDataFrame([(seed_key, 0)],
+                                         "dedup_key string, epoch int")
+            frontier = spark.createDataFrame(
+                [(self.seed.string(), 0, 0)],
+                "url string, depth int, seq bigint")
+            epoch = 0
+            next_seq = 1
+            n_frontier = 1
+        else:
+            # north_rule: resume at the last committed frontier epoch; the
+            # seen table is the union of committed deltas (the epoch-0 delta
+            # includes the seed key), Bloom is rebuilt from it below.
+            epoch, frontier, seen = resumed
+            last_metrics = self.checkpoint.metrics()[-1]
+            next_seq = int(last_metrics["next_seq"])
+            self.seed_host = last_metrics.get("seed_host", self.seed_host)
+            n_frontier = frontier.count()
+
         self.bloom = SeenSet() if self.use_bloom else None
         if self.bloom is not None:
-            self.bloom.add_keys([seed_key])
-
-        frontier = spark.createDataFrame(
-            [(self.seed.string(), 0, 0)], "url string, depth int, seq bigint")
+            if resumed is None:
+                self.bloom.add_keys([r.dedup_key for r in seen.collect()])
+            else:
+                self.bloom.add_keys_df(seen)  # rebuild from committed table
 
         fetch_logs: list[DataFrame] = []
         documents: list[DataFrame] = []
         outputs: list[DataFrame] = []
-        next_seq = 1
-        epoch = 0
-        n_frontier = 1  # the seed
         default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         while epoch < self.max_epochs:
@@ -154,26 +174,29 @@ class Crawler:
             frontier = frontier.repartition(parts, "url")
 
             fetched = self._fetch(frontier, epoch)
-            fetched = self._localckpt(fetched)
-
+            fetched = self._localckpt(fetched, "fetched")
             if epoch == 0:
                 fetched = self._rebase_seed(fetched)
 
             pages_ok = fetched.filter(F.col("status") == "ok")
             # fan the CPU-heavy Arrow extraction out to all cores regardless
-            # of the (data-sized) shuffle partitioning
-            spans = extract_spans_df(
-                pages_ok.select(F.col("page_url").alias("url"), "body")
-                        .repartition(cpu_parts, "url"),
-                include_text=True)
-            spans = self._localckpt(spans)
+            # of the (data-sized) shuffle partitioning.  Only MEDIA spans are
+            # materialized in-loop (they drive candidates); the full
+            # interleaved span table (with text runs) stays lazy and is only
+            # computed if the caller materializes CrawlResult.documents.
+            page_bodies = pages_ok.select(
+                F.col("page_url").alias("url"), "body") \
+                .repartition(cpu_parts, "url")
+            spans = extract_spans_df(page_bodies, minimal=True)
+            spans = self._localckpt(spans, "spans")
 
             page_meta = pages_ok.select(
                 F.col("page_url"), F.col("seq").alias("parent_seq"),
                 F.col("depth"))
-            documents.append(spans.join(
+            full_spans = extract_spans_df(page_bodies, include_text=True)
+            documents.append(full_spans.join(
                 page_meta.select("page_url", "depth"),
-                spans["url"] == page_meta["page_url"], "left")
+                full_spans["url"] == page_meta["page_url"], "left")
                 .drop("page_url")
                 .withColumn("epoch", F.lit(epoch)))
 
@@ -228,14 +251,25 @@ class Crawler:
                           .select(F.col("url"),
                                   (F.col("depth") + 1).alias("depth"),
                                   (F.lit(next_seq) + F.col("_ord") - 1).alias("seq")))
-            next_pages = self._localckpt(next_pages)
+            next_pages = self._localckpt(next_pages, "next_pages")
             n_next = next_pages.count()
             next_seq += n_next
             frontier = next_pages
             n_frontier = n_next
             if self.checkpoint is not None:
-                self.checkpoint.commit_epoch(epoch, frontier=frontier,
-                                             seen_delta=delta)
+                commit_delta = delta
+                if epoch == 0:
+                    # epoch-0 delta must carry the driver-inserted seed key
+                    # so a resume can reconstruct seen purely from deltas
+                    from ..functions.urlnorm import dedup_key as py_dedup_key
+                    seed_row = spark.createDataFrame(
+                        [(py_dedup_key(self.seed, self.seed_host), 0)],
+                        "dedup_key string, epoch int")
+                    commit_delta = delta.unionByName(seed_row)
+                self.checkpoint.commit_epoch(
+                    epoch, frontier=frontier, seen_delta=commit_delta,
+                    metrics={"next_seq": next_seq,
+                             "seed_host": self.seed_host})
             epoch += 1
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
@@ -264,11 +298,18 @@ class Crawler:
         sim = Simulator(config=self.config, pages={})
         return sim.should_download(self.seed, 0, False)
 
-    def _localckpt(self, df: DataFrame) -> DataFrame:
+    _TIMING = os.environ.get("GOSCRAPE_TIMING", "") == "1"
+
+    def _localckpt(self, df: DataFrame, label: str = "") -> DataFrame:
         # eager: truncate lineage AND materialize once — every epoch state is
         # consumed by several downstream actions, and without materialization
         # the whole epoch chain would re-execute per action.
-        return df.localCheckpoint(eager=True)
+        if not self._TIMING:
+            return df.localCheckpoint(eager=True)
+        t0 = time.time()
+        out = df.localCheckpoint(eager=True)
+        print(f"    ckpt[{label}]: {time.time() - t0:.2f}s", flush=True)
+        return out
 
     def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
         """J2 mock-fetch join + S2 retry semantics as columns.
@@ -314,7 +355,11 @@ class Crawler:
     def _base_candidates(self, spans: DataFrame, page_meta: DataFrame) -> DataFrame:
         """Ranks 1-4 (link/script/body/style assets), 5 (images: body dups +
         img refs), 6 (a-links) from the span table.  Per-tag lists are
-        distinct + lexicographically sorted (A2, htmlindex.go:67-89)."""
+        distinct + lexicographically sorted (A2, htmlindex.go:67-89).
+
+        Physical shape: ONE hash aggregate (conditional collect_set per tag),
+        one join to page metadata, one generate (explode of a concatenated
+        struct array) — no pivot, no 6-way union scan."""
         from ..operators.extract import TAG_BY_KIND
 
         tag_expr = F.create_map(*[F.lit(x) for kv in TAG_BY_KIND.items()
@@ -323,52 +368,61 @@ class Crawler:
                   .withColumn("tag", tag_expr)
                   .filter(F.col("tag").isNotNull()))
 
-        per_tag = (tagged.groupBy("url", "tag")
-                   .agg(F.array_sort(F.collect_set("media_ref")).alias("refs")))
+        def refs(tag: str):
+            return F.coalesce(
+                F.array_sort(F.collect_set(
+                    F.when(F.col("tag") == tag, F.col("media_ref")))),
+                F.array().cast("array<string>"))
 
-        per_page = (per_tag.groupBy("url")
-                    .pivot("tag", ["link", "script", "body", "style", "img", "a"])
-                    .agg(F.first("refs")))
-        for c in ("link", "script", "body", "style", "img", "a"):
-            per_page = per_page.withColumn(
-                c, F.coalesce(F.col(c), F.array().cast("array<string>")))
+        per_page = (tagged.groupBy("url")
+                    .agg(refs("link").alias("link"),
+                         refs("script").alias("script"),
+                         refs("body").alias("body"),
+                         refs("style").alias("style"),
+                         refs("img").alias("img"),
+                         refs("a").alias("a")))
 
         pm = page_meta
         per_page = per_page.join(
             pm, per_page["url"] == pm["page_url"], "inner").drop("url")
 
-        def stage(col_name: str, rank: int, is_asset: bool, stage_name: str,
-                  sub: int = 0) -> DataFrame:
-            return (per_page
-                    .select("page_url", "parent_seq", "depth",
-                            F.posexplode(F.col(col_name)).alias("intra1", "ref"))
-                    .select(
-                        F.col("page_url"), F.col("parent_seq"),
-                        F.lit(rank).alias("stage_rank"),
-                        F.lit(sub).alias("sub_rank"), F.col("intra1"),
-                        F.lit(0).alias("intra2"),
-                        F.substring_index(F.col("ref"), "#", 1).alias("url"),
-                        F.lit(is_asset).alias("is_asset"), F.col("depth"),
-                        F.lit(stage_name).alias("stage")))
+        def stage(col, rank: int, is_asset: bool, stage_name: str):
+            return F.transform(
+                col, lambda x, i: F.struct(
+                    F.lit(rank).alias("stage_rank"),
+                    F.lit(0).alias("sub_rank"),
+                    i.alias("intra1"),
+                    F.lit(0).alias("intra2"),
+                    x.alias("ref"),
+                    F.lit(is_asset).alias("is_asset"),
+                    F.lit(stage_name).alias("stage")))
 
-        images = per_page.withColumn("images", F.concat("body", "img"))
-        img_stage = (images
-                     .select("page_url", "parent_seq", "depth",
-                             F.posexplode("images").alias("intra1", "ref"))
-                     .select(F.col("page_url"), F.col("parent_seq"),
-                             F.lit(5).alias("stage_rank"),
-                             F.lit(0).alias("sub_rank"), F.col("intra1"),
-                             F.lit(0).alias("intra2"),
-                             F.substring_index(F.col("ref"), "#", 1).alias("url"),
-                             F.lit(True).alias("is_asset"), F.col("depth"),
-                             F.lit("image").alias("stage")))
+        # Rank 5 carries ONLY the img refs, although the sequential loop also
+        # re-enqueues the body-bg refs at the head of the images queue
+        # (scraper/download.go:28-31): a body ref at (P, rank5) always loses
+        # first-wins to the SAME key at (P, rank3) — the body stage of the
+        # same page — so those rows are provably unobservable; dropping them
+        # shrinks the admission shuffle.  5b/5c relative order is preserved
+        # via sub_rank (0 = queued images, 1 = css-discovered).
+        cands = F.concat(
+            stage(F.col("link"), 1, True, "link"),
+            stage(F.col("script"), 2, True, "script"),
+            stage(F.col("body"), 3, True, "body"),
+            stage(F.col("style"), 4, True, "style"),
+            stage(F.col("img"), 5, True, "image"),
+            stage(F.col("a"), 6, False, "a"))
 
-        return (stage("link", 1, True, "link")
-                .unionByName(stage("script", 2, True, "script"))
-                .unionByName(stage("body", 3, True, "body"))
-                .unionByName(stage("style", 4, True, "style"))
-                .unionByName(img_stage)
-                .unionByName(stage("a", 6, False, "a")))
+        return (per_page
+                .select("page_url", "parent_seq", "depth",
+                        F.explode(cands).alias("c"))
+                .select("page_url", "parent_seq",
+                        F.col("c.stage_rank").alias("stage_rank"),
+                        F.col("c.sub_rank").alias("sub_rank"),
+                        F.col("c.intra1").alias("intra1"),
+                        F.col("c.intra2").alias("intra2"),
+                        F.substring_index(F.col("c.ref"), "#", 1).alias("url"),
+                        F.col("c.is_asset").alias("is_asset"), F.col("depth"),
+                        F.col("c.stage").alias("stage")))
 
     # ------------------------------------------------------------------
     def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
@@ -387,7 +441,7 @@ class Crawler:
             inserts, survivors = admit(all_cands, seen, self.seed_host,
                                        cfg.max_depth, cfg.includes,
                                        cfg.excludes, bloom=self.bloom)
-            inserts = self._localckpt(inserts)
+            inserts = self._localckpt(inserts, "inserts")
             survivors = inserts.filter(F.col("survived"))
             if self.robots is not None:
                 from ..operators.politeness import apply_robots
@@ -534,7 +588,7 @@ def _union_all(dfs: list[DataFrame], empty: DataFrame) -> DataFrame:
 
 
 def crawl(spark: SparkSession, config: CrawlConfig, pages: DataFrame,
-          **kwargs) -> CrawlResult:
+          resume: bool = False, **kwargs) -> CrawlResult:
     """Library entry point (SURVEY §3.2): the Spark equivalent of
     ``scraper.New(...)`` + ``Start``."""
-    return Crawler(spark, config, pages, **kwargs).run()
+    return Crawler(spark, config, pages, **kwargs).run(resume=resume)

@@ -69,3 +69,28 @@ def test_checkpoint_commit_and_resume_state(spark, tmp_path):
     assert frontier.count() == 0  # crawl finished; final frontier empty
     m = ckpt.metrics()
     assert len(m) == res.epochs and all("frontier_rows" in x for x in m)
+
+
+def test_killed_run_resumes_and_completes(spark, tmp_path):
+    """north_rule: a killed run resumes at the last committed frontier epoch
+    and finishes with the same final seen set as an uninterrupted run."""
+    from goscrape_spark.sources.storage import CrawlCheckpoint
+
+    full = crawl(spark, CrawlConfig(url=SITE_LINKS_START),
+                 pages_df(spark, SITE_LINKS))
+
+    ckpt = CrawlCheckpoint(path=str(tmp_path / "ckpt2"))
+    partial = crawl(spark, CrawlConfig(url=SITE_LINKS_START),
+                    pages_df(spark, SITE_LINKS), checkpoint=ckpt,
+                    max_epochs=1)  # "killed" after epoch 0
+    assert partial.epochs == 1
+    assert ckpt.max_committed_epoch() == 0
+
+    resumed = crawl(spark, CrawlConfig(url=SITE_LINKS_START),
+                    pages_df(spark, SITE_LINKS), checkpoint=ckpt,
+                    resume=True)
+    assert resumed.seen_set() == full.seen_set()
+    # the resumed run processed only the remaining epochs
+    resumed_urls = [r.url for r in resumed.ordered_fetches()]
+    full_urls = [r.url for r in full.ordered_fetches()]
+    assert resumed_urls == full_urls[len([r for r in partial.ordered_fetches()]):]
