@@ -26,7 +26,7 @@ the Bloom pre-filter only probable-duplicates reach the join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.urlnorm import (
@@ -97,11 +97,18 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
         col_dedup_key(F.col("url"), F.col("host"), F.col("path"),
                       F.lit(seed_host)))
 
-    w = Window.partitionBy("dedup_key").orderBy(*[F.col(c) for c in ORDER_COLS])
-    first = (keyed
-             .withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1)
-             .drop("_rn"))
+    # W1 first-wins as min_by hash aggregation, NOT a row_number window: a
+    # window piles every row of a hot dedup_key (think: the one logo/css
+    # every page references) into a single sort task, while a hash aggregate
+    # gets map-side partial combine — each input partition reduces its local
+    # rows for the hot key to ONE before the shuffle.  This is the explicit
+    # skew handling the frontier needs at web scale; composite consideration
+    # keys are unique per candidate, so min_by is deterministic.
+    ord_col = F.struct(*[F.col(c) for c in ORDER_COLS])
+    row_col = F.struct(*[F.col(c) for c in keyed.columns])
+    first = (keyed.groupBy("dedup_key")
+             .agg(F.min_by(row_col, ord_col).alias("_row"))
+             .select("_row.*"))
 
     seen_keys = seen.select("dedup_key")
     if bloom is None:
