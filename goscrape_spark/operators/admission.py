@@ -90,7 +90,10 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
     inserts on the ``survived`` flag) so callers can checkpoint ``inserts``
     once and derive both.
     """
-    parts = with_url_parts(candidates)
+    if {"scheme", "host", "path"} <= set(candidates.columns):
+        parts = candidates  # components precomputed upstream (extract fast path)
+    else:
+        parts = with_url_parts(candidates)
     valid = parts.filter(col_scheme_ok(F.col("scheme")))
     keyed = valid.withColumn(
         "dedup_key",

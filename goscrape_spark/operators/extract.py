@@ -281,25 +281,36 @@ def _resolve_or_none(base: GoURL, reference: str) -> str | None:
         return None
 
 
-def extract_media_refs(text: str, base_url: str) -> list[tuple[str, str]]:
-    """Fast path for the crawl loop: (kind, resolved_ref) pairs only.
+def extract_media_refs(text: str, base_url: str) -> list[tuple]:
+    """Fast path for the crawl loop: (kind, media_ref, ref_no_frag, scheme,
+    host, path) tuples.
 
     Candidate generation needs just the tag-kind and the resolved reference —
     per-tag lists get ``array_sort(collect_set(...))`` downstream, so span
-    offsets, text runs, and splice offsets are dead weight there.  Skipping
-    them (and the Span/sort machinery) makes this ~2-3x cheaper than
-    :func:`extract_spans` inside Arrow batches.
+    offsets, text runs, and splice offsets are dead weight there.  The URL
+    components (scheme/host/path + fragment-stripped string) fall out of the
+    resolver for free here, letting admission skip three JVM-side regex
+    extractions per candidate row.
     """
     base = parse_url(base_url)
     tags, _ = scan_tags(text)
-    out: list[tuple[str, str]] = []
+    out: list[tuple] = []
+
+    def emit(kind: str, u) -> None:
+        full = u.string()
+        no_frag = full.split("#", 1)[0]
+        out.append((kind, full, no_frag, u.scheme, u.host, u.path))
+
     for tag in tags:
         if tag.name == "style":
             if tag.content_start < 0 or tag.content_end <= tag.content_start:
                 continue
             for ref in css_extract(text[tag.content_start:tag.content_end],
                                    base):
-                out.append(("style-url", ref.resolved))
+                try:
+                    emit("style-url", parse_url(ref.resolved))
+                except ValueError:
+                    continue
             continue
         attrlist = NODES.get(tag.name)
         if attrlist is None:
@@ -310,13 +321,17 @@ def extract_media_refs(text: str, base_url: str) -> list[tuple[str, str]]:
             value = attr.value.strip()
             if attr.name in SRCSET_ATTRIBUTES:
                 for cand in split_srcset(value):
-                    ref = _resolve_or_none(base, cand)
-                    if ref is not None:
-                        out.append(("img-srcset", ref))
+                    try:
+                        emit("img-srcset",
+                             resolve_reference(base, parse_url(cand)))
+                    except ValueError:
+                        continue
             else:
-                ref = _resolve_or_none(base, value)
-                if ref is not None:
-                    out.append((_KIND_BY_TAG[tag.name], ref))
+                try:
+                    emit(_KIND_BY_TAG[tag.name],
+                         resolve_reference(base, parse_url(value)))
+                except ValueError:
+                    continue
     return out
 
 
@@ -349,7 +364,9 @@ def _decode(body) -> str:
     return str(body)
 
 
-MINIMAL_SCHEMA = "url string, kind string, media_ref string"
+MINIMAL_SCHEMA = ("url string, kind string, media_ref string, "
+                  "ref_no_frag string, scheme string, host string, "
+                  "path string")
 
 
 def extract_spans_df(fetched: DataFrame, url_col: str = "url",
@@ -370,17 +387,17 @@ def extract_spans_df(fetched: DataFrame, url_col: str = "url",
         def run_min(batches) -> Iterator:
             import pandas as pd
 
+            cols = ("kind", "media_ref", "ref_no_frag", "scheme", "host",
+                    "path")
             for pdf in batches:
                 urls: list[str] = []
-                kinds: list[str] = []
-                refs: list[str] = []
+                data: dict[str, list] = {c: [] for c in cols}
                 for url, body in zip(pdf["url"], pdf["body"]):
-                    for kind, ref in extract_media_refs(_decode(body), url):
+                    for tup in extract_media_refs(_decode(body), url):
                         urls.append(url)
-                        kinds.append(kind)
-                        refs.append(ref)
-                yield pd.DataFrame({"url": urls, "kind": kinds,
-                                    "media_ref": refs})
+                        for c, v in zip(cols, tup):
+                            data[c].append(v)
+                yield pd.DataFrame({"url": urls, **data})
 
         return src.mapInPandas(run_min, schema=MINIMAL_SCHEMA)
 

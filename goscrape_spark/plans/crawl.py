@@ -56,6 +56,7 @@ STAGE_RANKS = {"page": 0, "link": 1, "script": 2, "body": 3, "style": 4,
 
 CAND_SCHEMA = ("page_url string, parent_seq bigint, stage_rank int, "
                "sub_rank int, intra1 int, intra2 int, url string, "
+               "scheme string, host string, path string, "
                "is_asset boolean, depth int, stage string")
 
 FETCH_SCHEMA = ("url string, body binary, resp_url string, retry_after int")
@@ -368,11 +369,19 @@ class Crawler:
                   .withColumn("tag", tag_expr)
                   .filter(F.col("tag").isNotNull()))
 
+        # media_ref leads the struct so array_sort orders by the full
+        # reference string WITH fragment, exactly like the index's
+        # sort.Strings over resolved URLs (htmlindex.go:73-77)
+        ref_struct = F.struct("media_ref", "ref_no_frag", "scheme", "host",
+                              "path")
+        empty = ("array<struct<media_ref:string,ref_no_frag:string,"
+                 "scheme:string,host:string,path:string>>")
+
         def refs(tag: str):
             return F.coalesce(
                 F.array_sort(F.collect_set(
-                    F.when(F.col("tag") == tag, F.col("media_ref")))),
-                F.array().cast("array<string>"))
+                    F.when(F.col("tag") == tag, ref_struct))),
+                F.array().cast(empty))
 
         per_page = (tagged.groupBy("url")
                     .agg(refs("link").alias("link"),
@@ -393,7 +402,10 @@ class Crawler:
                     F.lit(0).alias("sub_rank"),
                     i.alias("intra1"),
                     F.lit(0).alias("intra2"),
-                    x.alias("ref"),
+                    x["ref_no_frag"].alias("url"),
+                    x["scheme"].alias("scheme"),
+                    x["host"].alias("host"),
+                    x["path"].alias("path"),
                     F.lit(is_asset).alias("is_asset"),
                     F.lit(stage_name).alias("stage")))
 
@@ -420,7 +432,10 @@ class Crawler:
                         F.col("c.sub_rank").alias("sub_rank"),
                         F.col("c.intra1").alias("intra1"),
                         F.col("c.intra2").alias("intra2"),
-                        F.substring_index(F.col("c.ref"), "#", 1).alias("url"),
+                        F.col("c.url").alias("url"),
+                        F.col("c.scheme").alias("scheme"),
+                        F.col("c.host").alias("host"),
+                        F.col("c.path").alias("path"),
                         F.col("c.is_asset").alias("is_asset"), F.col("depth"),
                         F.col("c.stage").alias("stage")))
 
@@ -475,7 +490,8 @@ class Crawler:
         def run(batches) -> Iterator:
             import pandas as pd
             cols = ["page_url", "parent_seq", "stage_rank", "sub_rank",
-                    "intra1", "intra2", "url", "is_asset", "depth", "stage"]
+                    "intra1", "intra2", "url", "scheme", "host", "path",
+                    "is_asset", "depth", "stage"]
             for pdf in batches:
                 rows = []
                 for url, page_url, pseq, lintra, depth, body in zip(
@@ -485,8 +501,10 @@ class Crawler:
                         .decode("utf-8", errors="replace")
                     base = parse_url(url)
                     for k, ref in enumerate(css_extract(text, base)):
+                        ru = parse_url(ref.resolved)
                         rows.append((page_url, pseq, 5, 1, int(lintra), k,
-                                     ref.resolved.split("#", 1)[0], True,
+                                     ref.resolved.split("#", 1)[0],
+                                     ru.scheme, ru.host, ru.path, True,
                                      int(depth), "css-image"))
                 yield pd.DataFrame(rows, columns=cols)
 
