@@ -179,53 +179,22 @@ def main() -> None:
     t_start = time.time()
     results: dict = {"sf": SF_DIR, "unit": "sec"}
 
-    # 1) headline crawl.  16 worker threads is the sweet spot on the 32-core
+    # 1) scaling FIRST (cleanest host state), see below
+    scaling = _scaling() if SCALING else {}
+
+    # 2) headline crawl.  16 worker threads is the sweet spot on the 32-core
     # sandbox host: each Spark task pairs a JVM thread with a Python Arrow
     # worker, so local[32] would run 64 runnable threads on 32 cores.
     head_cores = min(CPUS, 16)
     crawl32 = _crawl_run(f"local[{head_cores}]", CRAWL_PAGES, head_cores)
 
-    # 2) sf queries
+    # 3) sf queries
     spark = get_spark("bench-queries", master=f"local[{head_cores}]",
                       shuffle_partitions=head_cores)
     try:
         qtimes = _sf_queries(spark)
     finally:
         spark.stop()
-
-    # 3) scaling evidence (N vs 4N cores): steady-state operator benchmark —
-    # one huge frontier level through fetch/extract/admission/rewrite, sized
-    # so compute dominates.  Both levels stay under-subscribed on the 32-core
-    # host (each Spark task pairs a JVM thread with a Python Arrow worker, so
-    # local[16] keeps ~32 busy; local[32] would oversubscribe and understate
-    # 4N honestly achievable on a real 4N-executor cluster).
-    scaling = {}
-    if SCALING:
-        n_small, n_big = 4, 16
-        steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "400000"))
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-
-        def best_of(master: str, parts: int) -> dict:
-            # the sandbox host is noisy (co-tenant interference: identical
-            # runs vary up to ~2x) — take the best of N isolated runs
-            runs = [_crawl_run(master, steady_pages, parts,
-                               mode="--steady-worker")
-                    for _ in range(repeats)]
-            return min(runs, key=lambda r: r["sec"])
-
-        s_small = best_of(f"local[{n_small}]", n_small)
-        s_big = best_of(f"local[{n_big}]", n_big)
-        scaling = {
-            "mode": "steady-state single-epoch operators, best of "
-                    f"{repeats} isolated runs per level",
-            "pages": steady_pages,
-            f"local{n_small}_urls_per_sec": s_small["urls_per_sec"],
-            f"local{n_big}_urls_per_sec": s_big["urls_per_sec"],
-            f"local{n_small}_sec": s_small["sec"],
-            f"local{n_big}_sec": s_big["sec"],
-            "efficiency": round(
-                s_big["urls_per_sec"] / (4 * s_small["urls_per_sec"]), 3),
-        }
 
     qtimes["crawl"] = crawl32["sec"]
     results.update({
@@ -236,6 +205,42 @@ def main() -> None:
         "scaling": scaling,
     })
     print(json.dumps(results))
+
+
+def _scaling() -> dict:
+    # Scaling evidence (N vs 4N cores): steady-state operator benchmark —
+    # one huge frontier level through fetch/extract/admission/rewrite, sized
+    # so compute dominates.  Both levels stay under-subscribed on the 32-core
+    # host (each Spark task pairs a JVM thread with a Python Arrow worker, so
+    # local[16] keeps ~32 busy; local[32] would oversubscribe and understate
+    # 4N honestly achievable on a real 4N-executor cluster).
+    #
+    # The sandbox host throttles under sustained load and identical runs vary
+    # up to ~2x, so the two levels are INTERLEAVED symmetrically
+    # (small, big, big, small) and each level takes its best run.
+    n_small, n_big = 4, 16
+    steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "400000"))
+
+    order = [(n_small, 0), (n_big, 1), (n_big, 1), (n_small, 0)]
+    best: list[dict | None] = [None, None]
+    for cores, slot in order:
+        r = _crawl_run(f"local[{cores}]", steady_pages, cores,
+                       mode="--steady-worker")
+        if best[slot] is None or r["sec"] < best[slot]["sec"]:
+            best[slot] = r
+    s_small, s_big = best
+    return {
+        "mode": "steady-state single-epoch operators; levels interleaved "
+                "small,big,big,small; best run per level (host throttles "
+                "under sustained load)",
+        "pages": steady_pages,
+        f"local{n_small}_urls_per_sec": s_small["urls_per_sec"],
+        f"local{n_big}_urls_per_sec": s_big["urls_per_sec"],
+        f"local{n_small}_sec": s_small["sec"],
+        f"local{n_big}_sec": s_big["sec"],
+        "efficiency": round(
+            s_big["urls_per_sec"] / (4 * s_small["urls_per_sec"]), 3),
+    }
 
 
 if __name__ == "__main__":

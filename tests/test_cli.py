@@ -1,0 +1,28 @@
+"""CLI flag surface + mock-web crawl through the command line."""
+
+import os
+
+from goscrape_spark.cli import build_parser, run
+from goscrape_spark.sources.fixtures import SITE_CSS, pages_df
+
+
+def test_parser_flags():
+    p = build_parser()
+    a = p.parse_args(["https://x.org/", "--depth", "2", "--include", "^/a",
+                      "--exclude", "b$", "--header", "X-T:1",
+                      "--user", "u:pw", "--imagequality", "80"])
+    assert a.urls == ["https://x.org/"] and a.depth == 2
+    assert a.include == ["^/a"] and a.exclude == ["b$"]
+    assert a.user == "u:pw" and a.imagequality == 80
+
+
+def test_cli_crawl_mock_web(spark, tmp_path):
+    pages_path = str(tmp_path / "pages.parquet")
+    pages_df(spark, SITE_CSS).write.parquet(pages_path)
+    out = str(tmp_path / "out")
+    rc = run(["https://example.org/", "--pages-parquet", pages_path,
+              "--output", out], spark=spark)
+    assert rc == 0
+    idx = os.path.join(out, "example.org", "index.html")
+    assert os.path.exists(idx)
+    assert "url('background.jpg')" in open(idx).read()
