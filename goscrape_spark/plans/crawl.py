@@ -578,21 +578,30 @@ class Crawler:
     def _asset_outputs(self, asset_fetch: DataFrame, epoch: int) -> DataFrame:
         seed_host = self.seed_host
         outdir = self.config.output_directory
+        quality = self.config.image_quality
         ok = asset_fetch.filter(F.col("status") == "ok")
 
         def run(batches) -> Iterator:
             import pandas as pd
+
+            from ..operators.images import recode_image_bytes
             for pdf in batches:
                 urls, paths, bodies = [], [], []
-                for url, body in zip(pdf["url"], pdf["body"]):
+                for url, body, stage in zip(pdf["url"], pdf["body"],
+                                            pdf["stage"]):
                     u = parse_url(url)
                     paths.append(get_file_path(u, seed_host, outdir, False))
                     urls.append(url)
-                    bodies.append(bytes(body) if body is not None else b"")
+                    data = bytes(body) if body is not None else b""
+                    # C19: only the images-queue stage recodes
+                    # (scraper/download.go:58-63); quality 0 disables
+                    if stage in ("image", "css-image") and 1 <= quality <= 99:
+                        data = recode_image_bytes(data, quality)
+                    bodies.append(data)
                 yield pd.DataFrame({"url": urls, "file_path": paths,
                                     "body": bodies})
 
-        return (ok.select("url", "body")
+        return (ok.select("url", "body", "stage")
                 .mapInPandas(run, schema="url string, file_path string, body binary")
                 .withColumn("is_page", F.lit(False))
                 .withColumn("epoch", F.lit(epoch)))
