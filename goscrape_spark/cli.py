@@ -89,15 +89,13 @@ def run(argv: list[str], spark=None) -> int:
                 proxy=args.proxy, image_quality=quality,
                 politeness_delay_ms=args.politeness_ms,
                 headers=parse_headers(args.header))
+            pages, live = None, True
             if args.pages_parquet:
                 pages = spark.read.parquet(args.pages_parquet)
-            else:
-                raise NotImplementedError(
-                    "live-HTTP crawl loop wiring lands with network access; "
-                    "use --pages-parquet (sources/fetch.py has the fetcher)")
+                live = False
             ckpt = CrawlCheckpoint(args.checkpoint) if args.checkpoint else None
             res = crawl(spark, cfg, pages, checkpoint=ckpt,
-                        resume=args.resume)
+                        resume=args.resume, live=live)
             n = export_output_tree(res.output, args.output or ".")
             print(f"{url}: {res.epochs} epochs, "
                   f"{res.seen.count()} URLs seen, {n} files written")

@@ -85,17 +85,25 @@ class CrawlResult:
 
 
 class Crawler:
-    """Distributed crawler over a mock-web ``pages`` DataFrame."""
+    """Distributed crawler over a mock-web ``pages`` DataFrame (J2, the
+    reference's own test seam) or, with ``live=True``, the real per-host
+    HTTP fetch stage (sources/fetch.py) — same engine either way."""
 
     def __init__(self, spark: SparkSession, config: CrawlConfig,
-                 pages: DataFrame, use_bloom: bool = False,
-                 checkpoint=None, max_epochs: int = 1000):
+                 pages: DataFrame | None = None, use_bloom: bool = False,
+                 checkpoint=None, max_epochs: int = 1000,
+                 live: bool = False):
         self.spark = spark
         self.config = config
-        self.pages = pages.select(
-            F.col("url"), F.col("body"),
-            F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
-            F.coalesce(F.col("retry_after"), F.lit(0)).alias("retry_after"))
+        self.live = live
+        if pages is None and not live:
+            raise ValueError("need a pages fixture or live=True")
+        self.pages = None
+        if pages is not None:
+            self.pages = pages.select(
+                F.col("url"), F.col("body"),
+                F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
+                F.coalesce(F.col("retry_after"), F.lit(0)).alias("retry_after"))
         self.use_bloom = use_bloom
         self.bloom = None  # set in run()
         self.robots = None
@@ -312,27 +320,43 @@ class Crawler:
         print(f"    ckpt[{label}]: {time.time() - t0:.2f}s", flush=True)
         return out
 
-    def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
-        """J2 mock-fetch join + S2 retry semantics as columns.
+    def _do_fetch(self, urls: DataFrame) -> DataFrame:
+        """The fetch seam: (url) -> (url, body, resp_url, status, attempts).
 
-        The reference retries 429s inline with linear backoff
-        (scraper/http.go:50-96), so retry outcomes never change crawl order —
-        we compute the outcome directly: ok when retry_after <= max_retries,
-        else exhausted after max_retries+1 attempts."""
+        Mock mode: J2 fixture join + S2 retry outcome as columns (the
+        reference retries 429s inline with linear backoff,
+        scraper/http.go:50-96, so retry outcomes never change crawl order —
+        we compute them directly: ok when retry_after <= max_retries, else
+        exhausted after max_retries+1 attempts).
+        Live mode: per-host applyInPandas HTTP batches (sources/fetch.py)
+        with the same schema and real inline backoff + politeness sleeps."""
+        if self.live:
+            from ..sources.fetch import http_fetch_df
+            return http_fetch_df(urls, self.config)
         maxr = self.config.max_retries
-        joined = frontier.join(self.pages, on="url", how="left")
+        joined = urls.select("url").join(self.pages, on="url", how="left")
         return joined.select(
-            F.col("url").alias("req_url"),
-            F.col("url").alias("page_url"), F.col("body"),
+            F.col("url"),
+            F.when(F.col("retry_after") <= maxr, F.col("body")).alias("body"),
             F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
-            F.col("depth"), F.col("seq"),
             F.when(F.col("body").isNull(), F.lit("missing"))
              .when(F.col("retry_after") > maxr, F.lit("exhausted"))
              .otherwise(F.lit("ok")).alias("status"),
             F.when(F.col("body").isNull(), F.lit(1))
              .when(F.col("retry_after") > maxr, F.lit(maxr + 1))
              .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
-             .alias("attempts"),
+             .alias("attempts"))
+
+    def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
+        fetched = self._do_fetch(frontier.select("url"))
+        joined = frontier.join(fetched, on="url", how="left")
+        return joined.select(
+            F.col("url").alias("req_url"),
+            F.col("url").alias("page_url"), F.col("body"),
+            F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
+            F.col("depth"), F.col("seq"),
+            F.coalesce(F.col("status"), F.lit("missing")).alias("status"),
+            F.coalesce(F.col("attempts"), F.lit(1)).alias("attempts"),
         ).withColumn("body", F.when(F.col("status") == "ok", F.col("body")))
 
     def _rebase_seed(self, fetched: DataFrame) -> DataFrame:
@@ -484,8 +508,10 @@ class Crawler:
         page's body+img image entries but before the next page's stages."""
         meta = link_surv.select("url", "page_url", "parent_seq",
                                 F.col("intra1").alias("link_intra"), "depth")
-        fetched = meta.join(self.pages, on="url", how="inner") \
-                      .filter(F.col("retry_after") <= self.config.max_retries)
+        link_fetch = self._do_fetch(meta.select("url").distinct()) \
+                         .filter(F.col("status") == "ok")
+        fetched = meta.join(link_fetch.select("url", "body"),
+                            on="url", how="inner")
 
         def run(batches) -> Iterator:
             import pandas as pd
@@ -514,7 +540,6 @@ class Crawler:
 
     # ------------------------------------------------------------------
     def _fetch_assets(self, assets: DataFrame, epoch: int) -> DataFrame:
-        maxr = self.config.max_retries
         if self.config.politeness_delay_ms > 0:
             # J5: per-host politeness window; a real fetcher executes each
             # host group in one applyInPandas batch honoring not_before_ms.
@@ -524,17 +549,13 @@ class Crawler:
         else:
             assets = assets.withColumn("not_before_ms",
                                        F.lit(0).cast("long"))
-        joined = assets.join(self.pages, on="url", how="left")
+        fetched = self._do_fetch(assets.select("url").distinct())
+        joined = assets.join(fetched, on="url", how="left")
         return joined.select(
             F.col("url"), F.lit("asset").alias("kind"),
             F.col("not_before_ms"),
-            F.when(F.col("body").isNull(), F.lit("missing"))
-             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
-             .otherwise(F.lit("ok")).alias("status"),
-            F.when(F.col("body").isNull(), F.lit(1))
-             .when(F.col("retry_after") > maxr, F.lit(maxr + 1))
-             .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
-             .alias("attempts"),
+            F.coalesce(F.col("status"), F.lit("missing")).alias("status"),
+            F.coalesce(F.col("attempts"), F.lit(1)).alias("attempts"),
             F.col("parent_seq"), F.col("stage_rank"), F.col("sub_rank"),
             F.col("intra1"), F.col("intra2"), F.col("depth"),
             F.lit(epoch).alias("epoch"), F.col("stage"),

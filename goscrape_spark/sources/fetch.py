@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import base64
 import time as _time
-from typing import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,7 +53,7 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
     src = frontier.select(F.col(url_col).alias("url")) \
                   .withColumn("host", col_host(F.col("url")))
 
-    def fetch_host(key, pdf) -> Iterator:
+    def fetch_host(key, pdf):
         import urllib.error
         import urllib.request
 
