@@ -85,6 +85,8 @@ def parse_url(raw: str) -> GoURL:
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4, matching Go's ``resolvePath`` output (always rooted,
     preserves trailing slash for "." / ".." final segments)."""
+    if path and path[0] == "/" and "/." not in path and "//" not in path:
+        return path  # no dot-segments or empty segments: already clean
     out: list[str] = []
     segs = path.split("/")
     trailing_slash = path.endswith("/") or (segs and segs[-1] in (".", ".."))

@@ -103,11 +103,31 @@ class Span:
     token: str = ""  # full css token for style-url spans
 
 
+# one scanner dispatch regex: comments, declarations/PIs, close tags, or a
+# start tag name — searched from the current position (C-speed skipping)
+_MARKUP_RE = re.compile(
+    r"<(?:(?P<comment>!--)|(?P<decl>[!?])|(?P<close>/)"
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:-]*))")
+
+# skip a start tag's body (respecting quoted '>' inside attribute values)
+_TAG_BODY_RE = re.compile(r"""(?:"[^"]*"|'[^']*'|[^>"'])*""")
+
+# tags whose attributes we actually need to parse (URL-bearing, NODES)
+_PARSE_ATTR_TAGS = frozenset(NODES)
+
+_CLOSE_RES = {t: re.compile(r"</" + t + r"[\s>/]", re.I)
+              for t in _RAW_TEXT_TAGS}
+
+
 def scan_tags(text: str) -> tuple[list[Tag], list[tuple[int, int]]]:
-    """Scan document text; return (tags in document order, text runs)."""
+    """Scan document text; return (tags in document order, text runs).
+
+    Regex-driven: markup boundaries and attribute lists are matched by
+    compiled patterns (C speed); per-attribute Python work happens only for
+    the six URL-bearing tags."""
     tags: list[Tag] = []
     text_runs: list[tuple[int, int]] = []
-    i, n = 0, len(text)
+    pos, n = 0, len(text)
     tag_idx = 0
     run_start = 0
 
@@ -116,95 +136,69 @@ def scan_tags(text: str) -> tuple[list[Tag], list[tuple[int, int]]]:
         if end > run_start:
             text_runs.append((run_start, end))
 
-    while i < n:
-        lt = text.find("<", i)
-        if lt == -1:
+    while pos < n:
+        m = _MARKUP_RE.search(text, pos)
+        if m is None:
             flush_run(n)
             break
-        nxt = text[lt + 1 : lt + 2]
-        if text.startswith("<!--", lt):
+        lt = m.start()
+        kind = m.lastgroup
+        if kind == "comment":
             flush_run(lt)
-            close = text.find("-->", lt + 4)
-            i = n if close == -1 else close + 3
-            run_start = i
+            close = text.find("-->", m.end())
+            pos = n if close == -1 else close + 3
+            run_start = pos
             continue
-        if nxt in ("!", "?"):
-            flush_run(lt)
-            close = text.find(">", lt)
-            i = n if close == -1 else close + 1
-            run_start = i
-            continue
-        if nxt == "/":
+        if kind != "name":  # declaration/PI or close tag
             flush_run(lt)
             close = text.find(">", lt)
-            i = n if close == -1 else close + 1
-            run_start = i
-            continue
-        m = _TAG_OPEN_RE.match(text, lt)
-        if not m:
-            i = lt + 1  # literal '<' inside text
+            pos = n if close == -1 else close + 1
+            run_start = pos
             continue
         flush_run(lt)
-        name = m.group(1).lower()
-        j = m.end()
+        name = m.group("name").lower()
+        bm = _TAG_BODY_RE.match(text, m.end())
+        body_end = bm.end()
+        self_closing = body_end > m.end() and text[body_end - 1] == "/"
+        end = body_end + 1 if body_end < n else n  # consume '>'
+
         attrs: list[Attr] = []
-        seen_names: set[str] = set()
-        self_closing = False
-        while j < n:
-            # end of tag?
-            ws = j
-            while ws < n and text[ws] in " \t\r\n\f":
-                ws += 1
-            if ws < n and text[ws] == ">":
-                j = ws + 1
-                break
-            if ws + 1 < n and text[ws] == "/" and text[ws + 1] == ">":
-                self_closing = True
-                j = ws + 2
-                break
-            if ws < n and text[ws] == "/":
-                j = ws + 1
-                continue
-            am = _ATTR_RE.match(text, j)
-            if not am or am.end() == am.start():
-                j += 1
-                continue
-            aname = am.group(1).lower()
-            if am.group(2) is not None:
-                raw, q = am.group(2), '"'
-                vstart = am.start(2)
-            elif am.group(3) is not None:
-                raw, q = am.group(3), "'"
-                vstart = am.start(3)
-            elif am.group(4) is not None:
-                raw, q = am.group(4), ""
-                vstart = am.start(4)
-            else:
-                raw, q, vstart = "", "", am.end()
-            if aname not in seen_names:  # HTML5: first duplicate attr wins
-                seen_names.add(aname)
-                attrs.append(Attr(name=aname, value=_htmlmod.unescape(raw),
-                                  vstart=vstart, vend=vstart + len(raw),
-                                  quote=q))
-            j = am.end()
+        if name in _PARSE_ATTR_TAGS and body_end > m.end():
+            seen_names: set[str] = set()
+            for am in _ATTR_RE.finditer(text, m.end(), body_end):
+                aname = am.group(1).lower()
+                li = am.lastindex
+                if li == 2:
+                    raw, q, vstart = am.group(2), '"', am.start(2)
+                elif li == 3:
+                    raw, q, vstart = am.group(3), "'", am.start(3)
+                elif li == 4:
+                    raw, q, vstart = am.group(4), "", am.start(4)
+                else:
+                    raw, q, vstart = "", "", am.end()
+                if aname not in seen_names:  # HTML5: first duplicate wins
+                    seen_names.add(aname)
+                    attrs.append(Attr(name=aname,
+                                      value=_htmlmod.unescape(raw),
+                                      vstart=vstart,
+                                      vend=vstart + len(raw), quote=q))
+
         content_start = content_end = -1
-        end = j
         if name in _RAW_TEXT_TAGS and not self_closing:
-            close_re = re.compile(r"</" + re.escape(name) + r"[\s>/]", re.I)
-            cm = close_re.search(text, j)
+            cm = _CLOSE_RES[name].search(text, end)
             if cm:
-                content_start, content_end = j, cm.start()
+                content_start, content_end = end, cm.start()
                 gt = text.find(">", cm.start())
                 end = n if gt == -1 else gt + 1
             else:
-                content_start, content_end = j, n
+                content_start, content_end = end, n
                 end = n
         tags.append(Tag(name=name, attrs=tuple(attrs), start=lt, end=end,
                         tag_idx=tag_idx, content_start=content_start,
                         content_end=content_end))
         tag_idx += 1
-        i = end
-        run_start = i
+        pos = end
+        run_start = pos
     return tags, text_runs
 
 
