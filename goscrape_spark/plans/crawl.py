@@ -133,6 +133,7 @@ class Crawler:
             # is one row; its key is inserted before everything else.
             from ..functions.urlnorm import dedup_key as py_dedup_key
             seed_key = py_dedup_key(self.seed, self.seed_host)
+            self._seed_key = seed_key  # pre-rebase key, needed at commit time
             if not self._seed_admitted():
                 raise ValueError("start page is excluded from downloading")
             seen = spark.createDataFrame([(seed_key, 0)],
@@ -269,10 +270,10 @@ class Crawler:
                 commit_delta = delta
                 if epoch == 0:
                     # epoch-0 delta must carry the driver-inserted seed key
-                    # so a resume can reconstruct seen purely from deltas
-                    from ..functions.urlnorm import dedup_key as py_dedup_key
+                    # (computed BEFORE any depth-0 redirect rebase) so a
+                    # resume can reconstruct seen purely from deltas
                     seed_row = spark.createDataFrame(
-                        [(py_dedup_key(self.seed, self.seed_host), 0)],
+                        [(self._seed_key, 0)],
                         "dedup_key string, epoch int")
                     commit_delta = delta.unionByName(seed_row)
                 self.checkpoint.commit_epoch(
