@@ -327,6 +327,20 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(e, q, dim=len(q), k=10, n_planes=4)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goscrape_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = _embs(spark, sf_dir)
+    cents = train_ivf_centroids(e, n_cells=8, dim=64, sample=500)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
+    return ivf_topk(ivf_index(e, cents), cents, q, k=10, nprobe=3) \
+        .select("vec_id", F.round(F.col("cosine_sim"), 4).alias("cosine_sim"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.multimodal import (
         extract_media_features,
@@ -379,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "crawl_fixture": q_crawl_fixture,
     }

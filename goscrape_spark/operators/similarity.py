@@ -115,6 +115,80 @@ def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.9,
             .filter(F.col("cosine_sim") >= threshold))
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cell-probed search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(df: DataFrame, n_cells: int, dim: int,
+                        vec_col: str = "embedding", sample: int = 10_000,
+                        iters: int = 8, seed: int = 42):
+    """Train the coarse quantizer: mini k-means on a deterministic sample,
+    driver-side NumPy (the sample is tiny; the expensive part — assignment
+    over the full table — is distributed column math).  Returns a
+    (n_cells, dim) list-of-lists."""
+    import numpy as np
+
+    rows = (df.select(vec_col).limit(sample).collect())
+    X = np.array([[float(v) for v in r[0]] for r in rows], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize then argmax dot
+        Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        Cn = cents / (np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in cents]
+
+
+def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cell id as pure column expressions."""
+    best_id = F.lit(0)
+    best_sim = F.lit(-2.0)
+    vnorm = _norm(vec)
+    for cid, cent in enumerate(centroids):
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        sim = _dot(vec, c) / (vnorm * F.lit(
+            sum(x * x for x in cent) ** 0.5 or 1.0))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_id
+
+
+def ivf_index(df: DataFrame, centroids: list[list[float]],
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell.  At scale, write
+    this partitioned by ``cell`` so a probe reads only its cells' files
+    (partition pruning)."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn("cell", _cell_assign(vec, centroids))
+
+
+def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
+             query_vec: list[float], k: int = 10, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Probe the ``nprobe`` nearest cells and rank exactly within them.
+
+    The scan touches only the probed cells — with a cell-partitioned table
+    that is a partition-pruned read of ~nprobe/n_cells of the data."""
+    import math as _math
+
+    qn = _math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    sims = []
+    for cid, cent in enumerate(centroids):
+        cn = _math.sqrt(sum(x * x for x in cent)) or 1.0
+        sims.append((sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn),
+                     cid))
+    probe_cells = [cid for _, cid in sorted(sims, reverse=True)[:nprobe]]
+    return cosine_topk(indexed.filter(F.col("cell").isin(probe_cells)),
+                       query_vec, k, id_col, vec_col)
+
+
 def brute_force_near_dup_pairs(df: DataFrame, threshold: float = 0.9,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding") -> DataFrame:

@@ -128,6 +128,30 @@ def test_embedding_near_dup_vs_brute_force(spark):
     assert lsh <= exact  # LSH never invents pairs; may miss across buckets
 
 
+def test_ivf_ann(embs):
+    from goscrape_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(embs, n_cells=8, dim=64, sample=500)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    indexed = ivf_index(embs, cents).localCheckpoint(eager=True)
+    # every vector lands in exactly one cell
+    assert indexed.count() == embs.count()
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 3).first().embedding]
+    exact = [r.vec_id for r in cosine_topk(embs, q, k=5).collect()]
+    approx = [r.vec_id for r in ivf_topk(indexed, cents, q, k=5,
+                                         nprobe=3).collect()]
+    assert 3 in approx  # the query vector itself is found
+    assert len(set(exact) & set(approx)) >= 2  # decent recall at nprobe=3
+    # determinism
+    cents2 = train_ivf_centroids(embs, n_cells=8, dim=64, sample=500)
+    assert cents == cents2
+
+
 def test_text_profile(docs):
     prof = text_profile(docs).limit(50).collect()
     for r in prof:
