@@ -195,8 +195,12 @@ class Crawler:
             # interleaved span table (with text runs) stays lazy and is only
             # computed if the caller materializes CrawlResult.documents.
             page_bodies = pages_ok.select(
-                F.col("page_url").alias("url"), "body") \
-                .repartition(cpu_parts, "url")
+                F.col("page_url").alias("url"), "body")
+            if cpu_parts != parts:
+                # only worth a body shuffle when it actually adds parallelism
+                # (small epochs); at big epochs the fetch join already ran at
+                # the same width
+                page_bodies = page_bodies.repartition(cpu_parts, "url")
             spans = extract_spans_df(page_bodies, minimal=True)
             spans = self._localckpt(spans, "spans")
 
@@ -240,7 +244,8 @@ class Crawler:
             fetch_logs.append(asset_fetch)
 
             # output table: pages (rewritten) + fetched assets
-            outputs.append(self._page_outputs(pages_ok, epoch, cpu_parts))
+            outputs.append(self._page_outputs(
+                pages_ok, epoch, cpu_parts if cpu_parts != parts else 0))
             outputs.append(self._asset_outputs(asset_fetch, epoch))
 
             # seen append (insert-before-reject: ALL admitted keys).  The
