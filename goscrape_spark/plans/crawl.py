@@ -509,9 +509,14 @@ class Crawler:
 
     def _discover_css(self, link_surv: DataFrame) -> DataFrame | None:
         """cssProcessor discovery (scraper/download.go:104-131): fetch each
-        surviving link asset, extract its url() refs resolved against the
-        css file's own URL; candidates get sub_rank 1 so they sort after the
-        page's body+img image entries but before the next page's stages."""
+        surviving link asset and emit its url() refs as image candidates.
+
+        The reference enqueues the RAW parsed src (css/css.go:44-52 passes
+        url.Parse(src), never resolved against the css file), so relative
+        refs lack a scheme and are dropped by the scheme filter in admission
+        WITHOUT a seen insert — only absolute http(s) url() refs are ever
+        fetched.  Candidates get sub_rank 1 so they sort after the page's
+        body+img image entries but before the next page's stages."""
         meta = link_surv.select("url", "page_url", "parent_seq",
                                 F.col("intra1").alias("link_intra"), "depth")
         link_fetch = self._do_fetch(meta.select("url").distinct()) \
@@ -533,9 +538,9 @@ class Crawler:
                         .decode("utf-8", errors="replace")
                     base = parse_url(url)
                     for k, ref in enumerate(css_extract(text, base)):
-                        ru = parse_url(ref.resolved)
+                        ru = parse_url(ref.src)  # RAW src (css/css.go:44-52)
                         rows.append((page_url, pseq, 5, 1, int(lintra), k,
-                                     ref.resolved.split("#", 1)[0],
+                                     ref.src.split("#", 1)[0],
                                      ru.scheme, ru.host, ru.path, True,
                                      int(depth), "css-image"))
                 yield pd.DataFrame(rows, columns=cols)

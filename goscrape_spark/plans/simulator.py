@@ -208,11 +208,15 @@ class Simulator:
 
     # cssProcessor (scraper/download.go:104-131): discovers images; its
     # rewrite map is dead code (keys are full url(...) tokens), so the CSS
-    # bytes are stored unmodified.
+    # bytes are stored unmodified.  css.Process hands the processor the RAW
+    # parsed src (css/css.go:44-52, url.Parse(src) — never resolved against
+    # the css file), so relative url() refs have no scheme and fail the
+    # scheme check in shouldURLBeDownloaded before any seen insert: only
+    # absolute http(s) refs are ever fetched.
     def _css_processor(self, u: GoURL, data: bytes) -> bytes:
         text = data.decode("utf-8", errors="replace")
         for ref in css_extract(text, u):
-            self.images_queue.append(parse_url(ref.resolved))
+            self.images_queue.append(parse_url(ref.src))
         return data
 
     def _recode_processor(self, u: GoURL, data: bytes) -> bytes:

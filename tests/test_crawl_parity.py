@@ -97,19 +97,31 @@ def test_parity_retry_and_missing(spark):
 
 
 def test_parity_css_discovered_images(spark):
-    # CSS files discovered via <link> pull in more images in the same epoch
+    # CSS files discovered via <link> pull in more images in the same epoch.
+    # The reference enqueues the RAW url() src (css/css.go:44-52 passes the
+    # unresolved url.Parse(src)), so relative refs like url(bg.png) and
+    # root-relative url(/a.png) fail the http(s) scheme check and are never
+    # fetched nor inserted into the seen set; only ABSOLUTE refs survive.
     pages = {
         "https://example.org/": ('<link href="/css/site.css" rel="stylesheet">'
                                  '<img src="/a.png">'),
         "https://example.org/css/site.css":
-            "body { background: url(bg.png); } h1 { background: url(/a.png); }",
+            "body { background: url(bg.png); } "
+            "h1 { background: url(/a.png); } "
+            "h2 { background: url(https://example.org/abs.png); } "
+            "h3 { background: url(https://cdn.other.net/far.png); }",
         "https://example.org/css/bg.png": "p1",
         "https://example.org/a.png": "p2",
+        "https://example.org/abs.png": "p3",
+        "https://cdn.other.net/far.png": "p4",
     }
     sim, res = assert_parity(spark, CrawlConfig(url="https://example.org/"),
                              pages)
-    # /a.png first considered in the images stage (img tag), /css/bg.png via css
-    assert sim.seen == {"/", "/css/site.css", "/a.png", "/css/bg.png"}
+    # /a.png enters via the img tag (images stage); the css url() refs only
+    # contribute the two absolute ones (same-host keyed by path, external by
+    # full URL); bg.png and the raw /a.png ref are scheme-rejected.
+    assert sim.seen == {"/", "/css/site.css", "/a.png", "/abs.png",
+                        "https://cdn.other.net/far.png"}
 
 
 def test_parity_asset_vs_page_conflict(spark):
