@@ -56,8 +56,15 @@ def run(argv: list[str], spark=None) -> int:
         import functools
         from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
 
-        handler = functools.partial(SimpleHTTPRequestHandler,
-                                    directory=args.serve)
+        class Handler(SimpleHTTPRequestHandler):
+            # S9: .asp would otherwise download instead of render
+            # (scraper/server.go:13-16)
+            extensions_map = {
+                **SimpleHTTPRequestHandler.extensions_map,
+                ".asp": "text/html; charset=utf-8",
+            }
+
+        handler = functools.partial(Handler, directory=args.serve)
         print(f"serving {args.serve} on :{args.port}")
         ThreadingHTTPServer(("", args.port), handler).serve_forever()
         return 0
@@ -67,7 +74,7 @@ def run(argv: list[str], spark=None) -> int:
         return 2
 
     from .config import CrawlConfig
-    from .functions.cookies import parse_headers
+    from .functions.cookies import parse_headers, read_cookie_file
     from .plans.crawl import crawl
     from .session import get_spark
     from .sources.export import export_output_tree
@@ -75,6 +82,16 @@ def run(argv: list[str], spark=None) -> int:
 
     username, _, password = args.user.partition(":")
     quality = args.imagequality if 1 <= args.imagequality <= 99 else 0
+    # S4: load the cookie jar once; it rides into every live fetch session
+    # (main.go:137-140, 214-230)
+    cookies = []
+    if args.cookies:
+        try:
+            cookies = read_cookie_file(args.cookies)
+        except (OSError, ValueError) as e:
+            print(f"reading cookie file {args.cookies!r}: {e}",
+                  file=sys.stderr)
+            return 2
 
     own_session = spark is None
     if own_session:
@@ -88,7 +105,7 @@ def run(argv: list[str], spark=None) -> int:
                 user_agent=args.useragent, timeout=args.timeout,
                 proxy=args.proxy, image_quality=quality,
                 politeness_delay_ms=args.politeness_ms,
-                headers=parse_headers(args.header))
+                headers=parse_headers(args.header), cookies=cookies)
             pages, live = None, True
             if args.pages_parquet:
                 pages = spark.read.parquet(args.pages_parquet)

@@ -27,6 +27,10 @@ class CrawlConfig:
     user_agent: str = ""
     proxy: str = ""
     headers: dict[str, str] = field(default_factory=dict)
+    # session cookie jar (S4): list of functions.cookies.Cookie, attached to
+    # every live fetch as a Cookie: header (scraper/scraper.go:106-109,
+    # scraper/cookies.go:39-59); loaded/saved by the CLI (main.go:214-246)
+    cookies: list = field(default_factory=list)
 
     # scale knobs (rebuild-only; north_rule extensions)
     max_retries: int = 10               # scraper/http.go:19

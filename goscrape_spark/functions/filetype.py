@@ -17,8 +17,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # (extension, magic prefix, offset) — mirrors h2non/filetype matchers for the
-# formats a crawler meets. Checked in order; first match wins.
+# formats a crawler meets (image/video/audio/font/archive/document sets of
+# github.com/h2non/filetype, prefix-checkable subset). Checked in order;
+# first match wins.  Only the MATCH/NO-MATCH outcome affects crawl parity
+# (scraper/scraper.go:187-191 uses the extension solely to pick binary vs
+# page handling); the extension string itself feeds the media-kind metadata.
 _SIGNATURES: list[tuple[str, bytes, int]] = [
+    # images
     ("jpg", b"\xff\xd8\xff", 0),
     ("png", b"\x89PNG\r\n\x1a\n", 0),
     ("gif", b"GIF8", 0),
@@ -27,18 +32,53 @@ _SIGNATURES: list[tuple[str, bytes, int]] = [
     ("ico", b"\x00\x00\x01\x00", 0),
     ("tif", b"II*\x00", 0),
     ("tif", b"MM\x00*", 0),
+    ("psd", b"8BPS", 0),
+    # documents / archives
     ("pdf", b"%PDF", 0),
-    ("zip", b"PK\x03\x04", 0),
+    ("zip", b"PK\x03\x04", 0),     # also docx/xlsx/pptx/epub containers
     ("gz", b"\x1f\x8b", 0),
-    ("mp4", b"ftyp", 4),
+    ("tar", b"ustar", 257),
+    ("rar", b"Rar!\x1a\x07", 0),
+    ("7z", b"7z\xbc\xaf\x27\x1c", 0),
+    ("bz2", b"BZh", 0),
+    ("xz", b"\xfd7zXZ\x00", 0),
+    ("zst", b"\x28\xb5\x2f\xfd", 0),
+    ("exe", b"MZ", 0),
+    ("elf", b"\x7fELF", 0),
+    ("sqlite", b"SQLite", 0),
+    ("rtf", b"{\\rtf", 0),
+    ("ps", b"%!", 0),
+    ("swf", b"CWS", 0),
+    ("swf", b"FWS", 0),
+    ("deb", b"!<arch>", 0),
+    ("crx", b"Cr24", 0),
+    ("dcm", b"DICM", 128),
+    # video
+    ("mp4", b"ftyp", 4),           # also m4v/mov/heic/avif ftyp containers
+    ("webm", b"\x1aE\xdf\xa3", 0),  # EBML: webm/mkv
+    ("avi", b"AVI ", 8),
+    ("flv", b"FLV\x01", 0),
+    ("mpg", b"\x00\x00\x01\xba", 0),
+    ("wmv", b"\x30\x26\xb2\x75\x8e\x66\xcf\x11", 0),
+    # audio
     ("mp3", b"ID3", 0),
     ("ogg", b"OggS", 0),
     ("wav", b"WAVE", 8),
+    ("flac", b"fLaC", 0),
+    ("mid", b"MThd", 0),
+    ("amr", b"#!AMR", 0),
+    ("aiff", b"AIFF", 8),
+    # fonts
     ("woff", b"wOFF", 0),
     ("woff2", b"wOF2", 0),
     ("ttf", b"\x00\x01\x00\x00", 0),
     ("otf", b"OTTO", 0),
 ]
+
+
+# bytes of body prefix that suffice for every signature above (max offset +
+# max magic length, padded); lets light-weight stages ship only a head slice
+SNIFF_HEAD_BYTES = 300
 
 
 def sniff_extension(data: bytes) -> str:

@@ -155,8 +155,12 @@ def near_dup_minhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over word hashes (NumPy inside Arrow batches via
-    mapInPandas — vectorized, no per-row dispatch)."""
+    """64-bit SimHash over word hashes, NumPy-vectorized inside Arrow
+    batches: each batch hashes its UNIQUE tokens once (md5 -> first 8 bytes,
+    big-endian — portable, DuckDB-mirrorable for the driver oracle), unpacks
+    them into a (uniq, 64) sign matrix, and accumulates per-document sums
+    with one scatter-add.  No per-element Python beyond the unique-token md5
+    loop, which is sublinear in batch token volume."""
     tokens = df.select(F.col(id_col).alias("id"),
                        words(F.col(text_col)).alias("ws"))
 
@@ -167,22 +171,29 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         import pandas as pd
 
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.uint64)
+            n = len(pdf)
+            acc = np.zeros((n, 64), dtype=np.int64)
+            doc_ix: list[int] = []
+            toks_flat: list[str] = []
             for i, toks in enumerate(pdf["ws"]):
                 if toks is None or len(toks) == 0:
                     continue
-                acc = np.zeros(64, dtype=np.int64)
-                for t in toks:
-                    h = int.from_bytes(hashlib.blake2b(
-                        t.encode(), digest_size=8).digest(), "little")
-                    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) \
-                        & np.uint64(1)
-                    acc += np.where(bits == 1, 1, -1)
-                sig = np.uint64(0)
-                for bpos in range(64):
-                    if acc[bpos] > 0:
-                        sig |= np.uint64(1) << np.uint64(bpos)
-                out[i] = sig
+                doc_ix.extend([i] * len(toks))
+                toks_flat.extend(toks)
+            if toks_flat:
+                uniq, inv = np.unique(np.asarray(toks_flat, dtype=object),
+                                      return_inverse=True)
+                digests = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8]
+                             for t in uniq), dtype=np.uint8)
+                bits = np.unpackbits(digests).reshape(len(uniq), 64)
+                signs = bits.astype(np.int64) * 2 - 1   # (uniq, 64) in {-1,1}
+                np.add.at(acc, np.asarray(doc_ix), signs[inv])
+            # bit k of the signature = sign of column k; the md5 big-endian
+            # bit order (np.unpackbits MSB-first) maps column j to bit 63-j
+            weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+            out = ((acc > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64)
             yield pd.DataFrame({"id": pdf["id"],
                                 "simhash": out.view(np.int64)})
 

@@ -37,10 +37,11 @@ def media_from_fetched(fetched: DataFrame, url_col: str = "url",
     from ..functions.filetype import col_file_extension
 
     ext = col_file_extension(F.col(body_col))
-    kind = (F.when(ext.isin("jpg", "png", "gif", "webp", "bmp", "tif", "ico"),
-                   "image")
-            .when(ext.isin("mp3", "ogg", "wav"), "audio")
-            .when(ext.isin("mp4"), "video")
+    kind = (F.when(ext.isin("jpg", "png", "gif", "webp", "bmp", "tif", "ico",
+                            "psd"), "image")
+            .when(ext.isin("mp3", "ogg", "wav", "flac", "mid", "amr", "aiff"),
+                  "audio")
+            .when(ext.isin("mp4", "webm", "avi", "flv", "mpg", "wmv"), "video")
             .otherwise("binary"))
     return fetched.select(
         F.col(url_col).alias("media_id"), kind.alias("kind"),

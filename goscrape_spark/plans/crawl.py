@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.filetype import sniff_extension
+from ..functions.filetype import SNIFF_HEAD_BYTES, sniff_extension
 from ..functions.urlmath import get_file_path
 from ..functions.urlnorm import GoURL, parse_url
 from ..operators.admission import ORDER_COLS, admit
@@ -166,6 +166,14 @@ class Crawler:
         outputs: list[DataFrame] = []
         default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        # filesystem state for the fileExists asset skip
+        # (scraper/download.go:76-79): one row per already-written path
+        written = spark.createDataFrame([], "file_path string")
+        if resumed is not None and self.checkpoint is not None:
+            w = self.checkpoint.resume_written(spark)
+            if w is not None:
+                written = w
+
         while epoch < self.max_epochs:
             if n_frontier == 0:
                 break
@@ -216,10 +224,16 @@ class Crawler:
 
             # candidates stay lazy: derived from the checkpointed spans, they
             # are consumed once (twice only when the CSS fixpoint iterates)
+            # file paths the ok pages of this epoch will write, with their
+            # global sequence — the "filesystem state" the fileExists check
+            # (scraper/download.go:76-79) consults for asset admission
+            page_paths = self._localckpt(
+                self._page_writer_paths(pages_ok), "page_paths")
+
             candidates = self._base_candidates(spans, page_meta)
 
-            inserts, survivors, css_cands = self._admission_fixpoint(
-                candidates, seen, pages_ok)
+            inserts, survivors, assets_allowed, assets_deferred = \
+                self._admission_fixpoint(candidates, seen, page_paths, written)
 
             # record fetches: the page fetches of this epoch + admitted assets
             if cfg.politeness_delay_ms > 0:
@@ -238,15 +252,26 @@ class Crawler:
                 F.col("depth"), F.lit(epoch).alias("epoch"),
                 F.lit("").alias("stage"))
 
-            assets = survivors.filter(F.col("is_asset"))
-            asset_fetch = self._fetch_assets(assets, epoch)
+            asset_fetch = self._fetch_assets(assets_allowed, epoch,
+                                             deferred=assets_deferred)
+            asset_fetch = self._localckpt(asset_fetch, "asset_fetch")
             fetch_logs.append(page_log)
-            fetch_logs.append(asset_fetch)
+            fetch_logs.append(asset_fetch.drop("body", "file_path"))
 
             # output table: pages (rewritten) + fetched assets
             outputs.append(self._page_outputs(
                 pages_ok, epoch, cpu_parts if cpu_parts != parts else 0))
             outputs.append(self._asset_outputs(asset_fetch, epoch))
+
+            # filesystem-state accumulation: every ok page write + every ok
+            # (unblocked) asset write becomes an existing file for later
+            # epochs' fileExists admission
+            written_delta = self._localckpt(
+                page_paths.select("file_path").unionByName(
+                    asset_fetch.filter(F.col("status") == "ok")
+                               .select("file_path")).distinct(),
+                "written_delta")
+            written = written.unionByName(written_delta)
 
             # seen append (insert-before-reject: ALL admitted keys).  The
             # first-wins window already guarantees one row per key, so no
@@ -284,7 +309,8 @@ class Crawler:
                 self.checkpoint.commit_epoch(
                     epoch, frontier=frontier, seen_delta=commit_delta,
                     metrics={"next_seq": next_seq,
-                             "seed_host": self.seed_host})
+                             "seed_host": self.seed_host},
+                    written_delta=written_delta)
             epoch += 1
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
@@ -300,10 +326,22 @@ class Crawler:
                 "token string, depth int, epoch int")
         empty_out = self.spark.createDataFrame(
             [], "url string, file_path string, body binary, is_page boolean, "
-                "epoch int")
+                "epoch int, wpos struct<epoch:int, pos:struct<"
+                "parent_seq:bigint, stage_rank:int, sub_rank:int, "
+                "intra1:int, intra2:int>>")
         fetch_log = _union_all(fetch_logs, empty_log)
         docs = _union_all(documents, empty_doc)
-        out = _union_all(outputs, empty_out)
+        # final filesystem state: the LAST writer per path in sequential
+        # write order wins, exactly like the reference's overwriting file
+        # sink (pages always overwrite; assets only write unseen paths) —
+        # one row per output file, order-insensitive.
+        out_log = _union_all(outputs, empty_out)
+        row = F.struct(*[F.col(c) for c in
+                         ("url", "file_path", "body", "is_page", "epoch")])
+        out = (out_log.groupBy("file_path")
+               .agg(F.max_by(row, F.col("wpos")).alias("_r"))
+               .select("_r.url", "file_path", "_r.body", "_r.is_page",
+                       "_r.epoch"))
         return CrawlResult(seen=seen, fetch_log=fetch_log, documents=docs,
                            output=out, epochs=epoch, seed_host=self.seed_host)
 
@@ -471,11 +509,19 @@ class Crawler:
 
     # ------------------------------------------------------------------
     def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
-                            pages_ok: DataFrame):
+                            page_paths: DataFrame, written: DataFrame):
         """Admission + in-epoch CSS discovery fixpoint (see module doc).
 
+        Returns ``(inserts, survivors, assets_allowed, assets_deferred)``:
+        survivors drive the seen inserts and the next frontier;
+        ``assets_allowed`` are the asset survivors that pass the fileExists
+        check (scraper/download.go:76-79) and are actually fetched.  CSS
+        discovery runs from the ALLOWED link assets only — a link asset
+        skipped because its file already exists is never fetched, so its
+        url() refs are never discovered, exactly like the reference.
+
         Stability is detected by an order-insensitive signature of the
-        surviving link-asset set (count + sum of row hashes) — a 1-row
+        allowed link-asset set (count + sum of row hashes) — a 1-row
         aggregate, no driver-side materialization of the set itself."""
         cfg = self.config
         css_cands = None
@@ -491,21 +537,140 @@ class Crawler:
             if self.robots is not None:
                 from ..operators.politeness import apply_robots
                 survivors = apply_robots(survivors, self.robots)
-            link_surv = survivors.filter(F.col("stage_rank") == 1)
+            allowed, deferred = self._fs_admit(
+                survivors.filter(F.col("is_asset")), page_paths, written)
+            link_surv = allowed.filter(F.col("stage_rank") == 1)
             sig_row = link_surv.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.xxhash64("parent_seq", "intra1", "url")).alias("h")
             ).first()
             sig = (sig_row.n, sig_row.h)
             if sig[0] == 0 and css_cands is None:
-                return inserts, survivors, css_cands  # no link assets at all
+                return inserts, survivors, allowed, deferred
             if prev_sig == sig:
-                return inserts, survivors, css_cands
+                return inserts, survivors, allowed, deferred
             prev_sig = sig
             css_cands = self._discover_css(link_surv)
             if css_cands is None:
-                return inserts, survivors, None  # links yielded no css refs
-        return inserts, survivors, css_cands
+                return inserts, survivors, allowed, deferred
+        return inserts, survivors, allowed, deferred
+
+    # ------------------------------------------------------------------
+    def _with_asset_paths(self, assets: DataFrame) -> DataFrame:
+        """Output file path per admitted asset (C8) — needed BEFORE the
+        fetch, because the fileExists check gates the fetch itself."""
+        seed_host = self.seed_host
+        outdir = self.config.output_directory
+
+        def run(batches) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["file_path"] = [
+                    get_file_path(parse_url(u), seed_host, outdir, False)
+                    for u in pdf["url"]]
+                yield pdf
+
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in assets.schema.fields) + ", file_path string"
+        return assets.mapInPandas(run, schema=schema)
+
+    def _page_writer_paths(self, pages_ok: DataFrame) -> DataFrame:
+        """(file_path, seq) each ok page of this epoch writes.  Pages always
+        (over)write — no fileExists check on the page path
+        (scraper/scraper.go:240-273) — so every ok page is a writer.  Only a
+        body head ships to Python: sniffing needs SNIFF_HEAD_BYTES."""
+        seed_host = self.seed_host
+        outdir = self.config.output_directory
+        src = pages_ok.select(
+            "seq", "page_url",
+            F.expr(f"substring(body, 1, {SNIFF_HEAD_BYTES})").alias("head"))
+
+        def run(batches) -> Iterator:
+            import pandas as pd
+            for pdf in batches:
+                paths = []
+                for url, head in zip(pdf["page_url"], pdf["head"]):
+                    raw = bytes(head) if head is not None else b""
+                    is_page = sniff_extension(raw) == ""
+                    paths.append(get_file_path(parse_url(url), seed_host,
+                                               outdir, is_page))
+                yield pd.DataFrame({"file_path": paths, "seq": pdf["seq"]})
+
+        return src.mapInPandas(run, schema="file_path string, seq bigint")
+
+    @staticmethod
+    def _pos():
+        """Consideration-order position of an asset row (comparable struct)."""
+        return F.struct(*[F.col(c) for c in ORDER_COLS])
+
+    @staticmethod
+    def _page_pos():
+        """A page's file write happens right before its own assets are
+        considered and after every earlier page's: stage_rank -1 sorts it
+        between page seq boundaries."""
+        return F.struct(F.col("seq").alias("parent_seq"),
+                        F.lit(-1).alias("stage_rank"),
+                        F.lit(0).alias("sub_rank"),
+                        F.lit(0).alias("intra1"),
+                        F.lit(0).alias("intra2"))
+
+    def _fs_admit(self, assets: DataFrame, page_paths: DataFrame,
+                  written: DataFrame):
+        """fileExists admission (scraper/download.go:76-79): drop admitted
+        assets whose output path was already written by (a) any earlier
+        epoch, (b) an ok page of this epoch stored before the asset's
+        consideration point, or (c) an earlier-considered ok asset of this
+        epoch.  Seen inserts are NOT affected — the reference adds the key
+        in shouldURLBeDownloaded before the fileExists check.
+
+        Mock mode resolves (c) exactly in one pass because fetch outcomes
+        are a side-effect-free fixture join: an asset is fetched iff its
+        position <= the first ok writer's position for its path.  Live mode
+        cannot know outcomes without fetching, so it optimistically keeps
+        the first-considered candidate per path and defers the rest;
+        ``_fetch_assets`` re-admits deferred candidates whose predecessors
+        all failed (the sequential chain, one wave per failure depth)."""
+        aw = self._with_asset_paths(assets)
+        pos = self._pos()
+        page_w = page_paths.select("file_path", self._page_pos().alias("pos"))
+
+        if not self.live:
+            st = (self._do_fetch(aw.select("url").distinct())
+                  .select("url", "status", "attempts"))
+            aw = (aw.join(st, on="url", how="left")
+                  .withColumn("status",
+                              F.coalesce(F.col("status"), F.lit("missing")))
+                  .withColumn("attempts",
+                              F.coalesce(F.col("attempts"), F.lit(1))))
+            aw = self._localckpt(aw, "assets_statused")
+            ok_w = (aw.filter(F.col("status") == "ok")
+                    .select("file_path", pos.alias("pos")))
+            first_ok = (ok_w.unionByName(page_w)
+                        .groupBy("file_path")
+                        .agg(F.min("pos").alias("_first_ok")))
+            allowed = (aw.join(written, "file_path", "left_anti")
+                       .join(first_ok, "file_path", "left")
+                       .filter(F.col("_first_ok").isNull()
+                               | (pos <= F.col("_first_ok")))
+                       .drop("_first_ok"))
+            return self._localckpt(allowed, "assets_allowed"), None
+
+        # live: block on earlier epochs + earlier page writers, keep the
+        # first candidate per path, defer the rest for the failure-chain loop
+        pw_first = page_w.groupBy("file_path").agg(F.min("pos").alias("_pw"))
+        unblocked = (aw.join(written, "file_path", "left_anti")
+                     .join(pw_first, "file_path", "left")
+                     .filter(F.col("_pw").isNull() | (pos < F.col("_pw")))
+                     .drop("_pw"))
+        first_pos = unblocked.groupBy("file_path").agg(F.min(pos).alias("_first"))
+        j = unblocked.join(first_pos, "file_path", "left")
+        allowed = j.filter(pos == F.col("_first")).drop("_first")
+        deferred = j.filter(pos != F.col("_first")).drop("_first")
+        deferred = self._localckpt(deferred, "assets_deferred")
+        if deferred.isEmpty():
+            deferred = None
+        return self._localckpt(allowed, "assets_allowed"), deferred
 
     def _discover_css(self, link_surv: DataFrame) -> DataFrame | None:
         """cssProcessor discovery (scraper/download.go:104-131): fetch each
@@ -550,18 +715,16 @@ class Crawler:
         return None if out.isEmpty() else out
 
     # ------------------------------------------------------------------
-    def _fetch_assets(self, assets: DataFrame, epoch: int) -> DataFrame:
+    def _schedule(self, assets: DataFrame) -> DataFrame:
         if self.config.politeness_delay_ms > 0:
             # J5: per-host politeness window; a real fetcher executes each
             # host group in one applyInPandas batch honoring not_before_ms.
             from ..operators.politeness import schedule_politeness
-            assets = schedule_politeness(assets,
-                                         self.config.politeness_delay_ms)
-        else:
-            assets = assets.withColumn("not_before_ms",
-                                       F.lit(0).cast("long"))
-        fetched = self._do_fetch(assets.select("url").distinct())
-        joined = assets.join(fetched, on="url", how="left")
+            return schedule_politeness(assets,
+                                       self.config.politeness_delay_ms)
+        return assets.withColumn("not_before_ms", F.lit(0).cast("long"))
+
+    def _asset_log_select(self, joined: DataFrame, epoch: int) -> DataFrame:
         return joined.select(
             F.col("url"), F.lit("asset").alias("kind"),
             F.col("not_before_ms"),
@@ -570,7 +733,50 @@ class Crawler:
             F.col("parent_seq"), F.col("stage_rank"), F.col("sub_rank"),
             F.col("intra1"), F.col("intra2"), F.col("depth"),
             F.lit(epoch).alias("epoch"), F.col("stage"),
-            F.col("body"))
+            F.col("body"), F.col("file_path"))
+
+    def _fetch_assets(self, allowed: DataFrame, epoch: int,
+                      deferred: DataFrame | None = None) -> DataFrame:
+        """Fetch the fileExists-allowed assets.  Mock mode already knows
+        status/attempts (fixture join in _fs_admit) and only joins bodies.
+        Live mode performs the real fetch, then re-admits deferred same-path
+        candidates whose predecessors all failed, one wave per chain level —
+        the exact sequential fileExists semantics."""
+        if not self.live:
+            bodies = self._do_fetch(allowed.select("url").distinct()) \
+                         .select("url", "body")
+            joined = self._schedule(allowed).join(bodies, on="url", how="left")
+            return self._asset_log_select(joined, epoch)
+
+        rounds: list[DataFrame] = []
+        cur = self._schedule(allowed)
+        while True:
+            fetched = self._do_fetch(cur.select("url").distinct())
+            joined = self._localckpt(
+                self._asset_log_select(
+                    cur.join(fetched.select("url", "body", "status",
+                                            "attempts"),
+                             on="url", how="left"), epoch),
+                "asset_round")
+            rounds.append(joined)
+            if deferred is None or deferred.isEmpty():
+                break
+            ok_paths = joined.filter(F.col("status") == "ok") \
+                             .select("file_path").distinct()
+            deferred = self._localckpt(
+                deferred.join(ok_paths, "file_path", "left_anti"),
+                "asset_deferred")
+            if deferred.isEmpty():
+                break
+            pos = self._pos()
+            first = deferred.groupBy("file_path").agg(F.min(pos).alias("_first"))
+            j = deferred.join(first, "file_path", "left")
+            cur = self._schedule(j.filter(pos == F.col("_first")).drop("_first"))
+            deferred = j.filter(pos != F.col("_first")).drop("_first")
+        out = rounds[0]
+        for r in rounds[1:]:
+            out = out.unionByName(r)
+        return out
 
     def _page_outputs(self, pages_ok: DataFrame, epoch: int,
                       cpu_parts: int = 0) -> DataFrame:
@@ -600,16 +806,19 @@ class Crawler:
                     bodies.append(out)
                     is_pages.append(is_page)
                 yield pd.DataFrame({"url": urls, "file_path": paths,
-                                    "body": bodies, "is_page": is_pages})
+                                    "body": bodies, "is_page": is_pages,
+                                    "seq": pdf["seq"]})
 
-        return (pages_ok.select("page_url", "body")
+        return (pages_ok.select("page_url", "body", "seq")
                 .mapInPandas(run, schema="url string, file_path string, "
-                                         "body binary, is_page boolean")
+                                         "body binary, is_page boolean, "
+                                         "seq bigint")
+                .withColumn("wpos", F.struct(
+                    F.lit(epoch).alias("epoch"), self._page_pos().alias("pos")))
+                .drop("seq")
                 .withColumn("epoch", F.lit(epoch)))
 
     def _asset_outputs(self, asset_fetch: DataFrame, epoch: int) -> DataFrame:
-        seed_host = self.seed_host
-        outdir = self.config.output_directory
         quality = self.config.image_quality
         ok = asset_fetch.filter(F.col("status") == "ok")
 
@@ -618,24 +827,32 @@ class Crawler:
 
             from ..operators.images import recode_image_bytes
             for pdf in batches:
-                urls, paths, bodies = [], [], []
-                for url, body, stage in zip(pdf["url"], pdf["body"],
-                                            pdf["stage"]):
-                    u = parse_url(url)
-                    paths.append(get_file_path(u, seed_host, outdir, False))
-                    urls.append(url)
+                bodies = []
+                for body, stage in zip(pdf["body"], pdf["stage"]):
                     data = bytes(body) if body is not None else b""
                     # C19: only the images-queue stage recodes
                     # (scraper/download.go:58-63); quality 0 disables
                     if stage in ("image", "css-image") and 1 <= quality <= 99:
                         data = recode_image_bytes(data, quality)
                     bodies.append(data)
-                yield pd.DataFrame({"url": urls, "file_path": paths,
+                yield pd.DataFrame({"url": pdf["url"],
+                                    "file_path": pdf["file_path"],
                                     "body": bodies})
 
-        return (ok.select("url", "body", "stage")
-                .mapInPandas(run, schema="url string, file_path string, body binary")
+        out = ok.select("url", "file_path", "body", "stage",
+                        self._pos().alias("_pos"))
+        if 1 <= quality <= 99:
+            recoded = (out.drop("_pos")
+                       .mapInPandas(run, schema="url string, "
+                                                "file_path string, body binary")
+                       .join(out.select("url", "_pos"), on="url", how="inner"))
+        else:
+            recoded = out.drop("stage")
+        return (recoded
                 .withColumn("is_page", F.lit(False))
+                .withColumn("wpos", F.struct(
+                    F.lit(epoch).alias("epoch"), F.col("_pos").alias("pos")))
+                .drop("_pos")
                 .withColumn("epoch", F.lit(epoch)))
 
 

@@ -42,6 +42,7 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
     retry_delay = config.retry_delay_ms / 1000.0
     politeness = config.politeness_delay_ms / 1000.0
     timeout = config.timeout or 30
+    proxy = config.proxy
     headers = dict(config.headers)
     if config.user_agent:
         headers["User-Agent"] = config.user_agent
@@ -49,6 +50,17 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
         cred = f"{config.username}:{config.password}"
         headers["Authorization"] = "Basic " + base64.b64encode(
             cred.encode()).decode()
+    if config.cookies:
+        # S4: cookie jar -> Cookie header (scraper/scraper.go:106-109,
+        # scraper/cookies.go:39-59); expiry evaluated at session start like
+        # the reference's jar.SetCookies at client construction
+        from datetime import datetime, timezone
+
+        from ..functions.cookies import cookie_header_value
+        val = cookie_header_value(config.cookies,
+                                  now=datetime.now(timezone.utc))
+        if val:
+            headers["Cookie"] = val
 
     src = frontier.select(F.col(url_col).alias("url")) \
                   .withColumn("host", col_host(F.col("url")))
@@ -59,6 +71,14 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
 
         import pandas as pd
 
+        # S5: proxy transport (scraper/scraper.go:111-115) — one opener per
+        # host batch, routing both schemes through the configured proxy
+        if proxy:
+            opener = urllib.request.build_opener(
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy}))
+        else:
+            opener = urllib.request.build_opener()
+
         rows = {"url": [], "body": [], "resp_url": [], "status": [],
                 "attempts": []}
         first = True
@@ -68,13 +88,16 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
             first = False
             body, resp_url, status, attempts = None, url, "missing", 0
             for retries in range(max_retries + 2):
-                attempts = retries + 1
                 if retries == max_retries + 1:
+                    # exhausted: max_retries+1 requests were actually made —
+                    # matches the mock join and the sequential oracle
                     status = "exhausted"
+                    attempts = max_retries + 1
                     break
+                attempts = retries + 1
                 req = urllib.request.Request(url, headers=headers)
                 try:
-                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    with opener.open(req, timeout=timeout) as resp:
                         body = resp.read()
                         resp_url = resp.geturl()
                         status = "ok"

@@ -41,13 +41,17 @@ class CrawlCheckpoint:
         return os.path.join(self.path, f"epoch={epoch}")
 
     def commit_epoch(self, epoch: int, frontier: DataFrame,
-                     seen_delta: DataFrame, metrics: dict | None = None) -> None:
+                     seen_delta: DataFrame, metrics: dict | None = None,
+                     written_delta: DataFrame | None = None) -> None:
         edir = self._epoch_dir(epoch)
         tmp = edir + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
         seen_delta.write.mode("overwrite").parquet(os.path.join(tmp, "seen_delta"))
+        if written_delta is not None:
+            written_delta.write.mode("overwrite").parquet(
+                os.path.join(tmp, "written_delta"))
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"epoch": epoch,
                        "frontier_rows": frontier.count(),
@@ -82,6 +86,22 @@ class CrawlCheckpoint:
                 os.path.join(self._epoch_dir(e), "seen_delta"))
             seen = delta if seen is None else seen.unionByName(delta)
         return last + 1, frontier, seen
+
+    def resume_written(self, spark: SparkSession) -> DataFrame | None:
+        """Union of committed written-path deltas: the filesystem state the
+        resumed run's fileExists asset skip starts from (the reference gets
+        this for free by statting the real output dir, download.go:76-79)."""
+        last = self.max_committed_epoch()
+        if last is None:
+            return None
+        written = None
+        for e in range(last + 1):
+            p = os.path.join(self._epoch_dir(e), "written_delta")
+            if not os.path.exists(p):
+                continue
+            delta = spark.read.parquet(p)
+            written = delta if written is None else written.unionByName(delta)
+        return written
 
     def metrics(self) -> list[dict]:
         out = []

@@ -124,6 +124,44 @@ def test_parity_css_discovered_images(spark):
                         "https://cdn.other.net/far.png"}
 
 
+def test_parity_file_exists_skip(spark):
+    """fileExists admission (scraper/download.go:76-79): an admitted asset
+    whose output path was already written is neither fetched nor logged.
+    Covers: external query-string dups (same path, distinct dedup keys),
+    the failure chain (first colliding fetch fails -> next IS fetched),
+    a page write blocking a later-considered asset in the same epoch, and
+    a page in a later epoch overwriting an earlier asset's file."""
+    pages = {
+        "https://example.org/": ('<img src="https://cdn.x.com/i.png?v=1">'
+                                 '<img src="https://cdn.x.com/i.png?v=2">'
+                                 '<img src="https://cdn.x.com/j.png?v=1">'
+                                 '<img src="https://cdn.x.com/j.png?v=2">'
+                                 '<a href="/a">a</a><a href="/b">b</a>'),
+        "https://cdn.x.com/i.png?v=1": "I1",
+        "https://cdn.x.com/i.png?v=2": "I2",
+        # j.png?v=1 intentionally missing: the chain must fetch v=2
+        "https://cdn.x.com/j.png?v=2": "J2",
+        "https://example.org/a": "page a",
+        "https://example.org/b": ('<img src="/a.html"><img src="/e.html">'
+                                  '<a href="/e">e</a>'),
+        "https://example.org/e.html": "E-ASSET",
+        "https://example.org/e": "page e",
+    }
+    sim, res = assert_parity(spark, CrawlConfig(url="https://example.org/"),
+                             pages)
+    fetched = [(f.url, f.status) for f in sim.fetches]
+    # i.png?v=2 collides with the already-written i.png path: skipped
+    assert ("https://cdn.x.com/i.png?v=2", "ok") not in fetched
+    assert ("https://cdn.x.com/i.png?v=1", "ok") in fetched
+    # j chain: v=1 fails (no file written), so v=2 is fetched
+    assert ("https://cdn.x.com/j.png?v=1", "missing") in fetched
+    assert ("https://cdn.x.com/j.png?v=2", "ok") in fetched
+    # page /a (seq before /b) wrote a.html, so /b's img /a.html is skipped
+    assert not any(u == "https://example.org/a.html" for u, _ in fetched)
+    # asset e.html fetched in epoch 1; page /e overwrites it in epoch 2
+    assert sim.files["example.org/e.html"] != b"E-ASSET"
+
+
 def test_parity_asset_vs_page_conflict(spark):
     # same URL as <link> asset on page 1 and <a> link on page 1: asset stage
     # considered first -> never fetched as page

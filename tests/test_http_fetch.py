@@ -22,10 +22,16 @@ class Handler(BaseHTTPRequestHandler):
             self.send_response(404)
             self.end_headers()
             return
+        if self.path == "/always429":
+            self.send_response(429)
+            self.end_headers()
+            return
         self.send_response(200)
         self.send_header("Content-Type", "text/html")
         self.end_headers()
-        self.wfile.write(f"<html>page {self.path} ua={self.headers.get('User-Agent')}</html>".encode())
+        self.wfile.write(
+            f"<html>page {self.path} ua={self.headers.get('User-Agent')} "
+            f"cookie={self.headers.get('Cookie')}</html>".encode())
 
     def log_message(self, *a):
         pass
@@ -53,3 +59,65 @@ def test_http_fetch(spark, server):
     assert out[f"{server}/flaky"].status == "ok"
     assert out[f"{server}/flaky"].attempts == 3  # two 429s then success
     assert out[f"{server}/missing"].status == "missing"
+
+
+def test_http_fetch_cookies_reach_the_wire(spark, server):
+    """S4: the configured cookie jar is sent as a Cookie header
+    (scraper/scraper.go:106-109, scraper/cookies.go:39-59)."""
+    from datetime import datetime, timedelta, timezone
+
+    from goscrape_spark.functions.cookies import Cookie
+
+    frontier = spark.createDataFrame([(f"{server}/cookiepage",)], "url string")
+    cfg = CrawlConfig(url=server, cookies=[
+        Cookie(name="sid", value="s3cr3t"),
+        Cookie(name="fresh", value="1",
+               expires=datetime.now(timezone.utc) + timedelta(days=1)),
+        Cookie(name="stale", value="0",
+               expires=datetime.now(timezone.utc) - timedelta(days=1)),
+    ])
+    body = bytes(http_fetch_df(frontier, cfg).first().body)
+    assert b"cookie=sid=s3cr3t; fresh=1" in body
+    assert b"stale" not in body
+
+
+def test_http_fetch_exhausted_attempts(spark, server):
+    """S2: retry exhaustion reports max_retries+1 attempts (the number of
+    requests actually made), matching the mock join and the oracle."""
+    frontier = spark.createDataFrame([(f"{server}/always429",)], "url string")
+    cfg = CrawlConfig(url=server, max_retries=2, retry_delay_ms=1)
+    row = http_fetch_df(frontier, cfg).first()
+    assert row.status == "exhausted"
+    assert row.attempts == 3
+
+
+def test_http_fetch_proxy_routing(spark, server):
+    """S5: config.proxy routes requests through the proxy transport
+    (scraper/scraper.go:111-115): the proxy receives the ABSOLUTE URL."""
+    proxied = []
+
+    class ProxyHandler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            proxied.append(self.path)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html>via-proxy</html>")
+
+        def log_message(self, *a):
+            pass
+
+    psrv = HTTPServer(("127.0.0.1", 0), ProxyHandler)
+    t = threading.Thread(target=psrv.serve_forever, daemon=True)
+    t.start()
+    try:
+        target = "http://upstream.invalid/page"
+        frontier = spark.createDataFrame([(target,)], "url string")
+        cfg = CrawlConfig(url=target,
+                          proxy=f"http://127.0.0.1:{psrv.server_port}")
+        row = http_fetch_df(frontier, cfg).first()
+        assert row.status == "ok"
+        assert bytes(row.body) == b"<html>via-proxy</html>"
+        assert proxied == [target]  # absolute URL = proxied request
+    finally:
+        psrv.shutdown()

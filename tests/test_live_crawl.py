@@ -17,7 +17,10 @@ PAGES = {
           '<body><a href="/page2">p2</a><img src="/logo.png"></body></html>'),
     "/page2": '<html><body><a href="/">home</a><a href="/page3/">x</a></body></html>',
     "/page3/": "<html><body>leaf</body></html>",
-    "/site.css": "body { background: url(/bg.png); }",
+    # css-discovered refs must be ABSOLUTE to be admitted (the reference
+    # enqueues the raw unresolved url() src, css/css.go:44-52); {BASE} is
+    # substituted with the live server origin per request
+    "/site.css": "body { background: url({BASE}/bg.png); }",
     "/logo.png": "PNGDATA",
     "/bg.png": "BGDATA",
 }
@@ -32,6 +35,7 @@ class Handler(BaseHTTPRequestHandler):
             return
         self.send_response(200)
         self.end_headers()
+        body = body.replace("{BASE}", f"http://{self.headers['Host']}")
         self.wfile.write(body.encode())
 
     def log_message(self, *a):
@@ -68,4 +72,4 @@ def test_live_crawl_end_to_end(spark, server, tmp_path):
     assert 'href="page2.html"' in index
     # css file stored unrewritten (reference's dead cssProcessor rewrite)
     css = open(os.path.join(root, host, "site.css")).read()
-    assert "url(/bg.png)" in css
+    assert f"url({server}/bg.png)" in css
