@@ -174,9 +174,11 @@ class Crawler:
             if w is not None:
                 written = w
 
+        self._live_fetch_cache = None
         while epoch < self.max_epochs:
             if n_frontier == 0:
                 break
+            self._live_fetch_cache = None  # css-fetch cache is per-epoch
 
             # Adaptive parallelism, sized by DATA not cores: shuffle stages
             # in the loop move small metadata rows, so partition counts
@@ -363,6 +365,17 @@ class Crawler:
         out = df.localCheckpoint(eager=True)
         print(f"    ckpt[{label}]: {time.time() - t0:.2f}s", flush=True)
         return out
+
+    def _do_fetch_cached(self, urls: DataFrame) -> DataFrame:
+        """Live fetch that serves this epoch's css-discovery GETs from the
+        in-epoch cache (one real GET per URL per epoch)."""
+        if not self.live or self._live_fetch_cache is None:
+            return self._do_fetch(urls)
+        cache = self._live_fetch_cache
+        hit = urls.join(cache, on="url", how="inner")
+        miss = urls.join(cache.select("url"), on="url", how="left_anti")
+        fetched_miss = self._do_fetch(miss)
+        return fetched_miss.unionByName(hit.select(*fetched_miss.columns))
 
     def _do_fetch(self, urls: DataFrame) -> DataFrame:
         """The fetch seam: (url) -> (url, body, resp_url, status, attempts).
@@ -684,9 +697,18 @@ class Crawler:
         body+img image entries but before the next page's stages."""
         meta = link_surv.select("url", "page_url", "parent_seq",
                                 F.col("intra1").alias("link_intra"), "depth")
-        link_fetch = self._do_fetch(meta.select("url").distinct()) \
-                         .filter(F.col("status") == "ok")
-        fetched = meta.join(link_fetch.select("url", "body"),
+        link_fetch = self._do_fetch(meta.select("url").distinct())
+        if self.live:
+            # cache the real GETs so _fetch_assets reuses the bodies instead
+            # of re-fetching every stylesheet (the reference fetches a link
+            # asset once and runs the cssProcessor on that body)
+            link_fetch = self._localckpt(link_fetch, "css_fetch")
+            cache = link_fetch if self._live_fetch_cache is None \
+                else self._live_fetch_cache.unionByName(link_fetch) \
+                         .dropDuplicates(["url"])
+            self._live_fetch_cache = cache
+        fetched = meta.join(link_fetch.filter(F.col("status") == "ok")
+                            .select("url", "body"),
                             on="url", how="inner")
 
         def run(batches) -> Iterator:
@@ -751,7 +773,7 @@ class Crawler:
         rounds: list[DataFrame] = []
         cur = self._schedule(allowed)
         while True:
-            fetched = self._do_fetch(cur.select("url").distinct())
+            fetched = self._do_fetch_cached(cur.select("url").distinct())
             joined = self._localckpt(
                 self._asset_log_select(
                     cur.join(fetched.select("url", "body", "status",
