@@ -277,11 +277,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs 0-29 plus a 75%-prefix truncation of each (doc_id + 1000):
+    guaranteed near-dup pairs so the jaccard oracle checks real rows."""
+    from goscrape_spark.operators.textops import words
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 30) \
+                            .select("doc_id", "text")
+    ws = words(F.col("text"))
+    trunc = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.array_join(F.slice(ws, 1, (F.size(ws) * 3 / 4).cast("int")), " ")
+         .alias("text"))
+    return d.unionByName(trunc)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.dedup import ngram_jaccard_pairs
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
-    return ngram_jaccard_pairs(d, threshold=0.1)
+    return ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.2)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,14 +317,10 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("cosine_sim"), 4).alias("cosine_sim"))
 
 
-# --- rows-only (non-SQL-expressible) ---------------------------------------
-
-
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
-    return minhash_lsh_pairs(d)
+    return minhash_lsh_pairs(_aug_docs(spark, sf_dir))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,21 +334,121 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _embs(spark, sf_dir)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
-    return ann_topk_lsh(e, q, dim=len(q), k=10, n_planes=4)
+    top = ann_topk_lsh(e, q, dim=64, k=10, n_planes=4, probe_radius=1)
+    return top.select("vec_id",
+                      F.round(F.col("cosine_sim"), 4).alias("cosine_sim"))
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the deterministic data-independent quantizer tier so the
+    assignment + cell-probe math is DuckDB-mirrorable; the trained-kmeans
+    tier is pytest-verified (test_training_ops.test_ivf_ann)."""
     from goscrape_spark.operators.similarity import (
+        fixed_centroids,
         ivf_index,
         ivf_topk,
-        train_ivf_centroids,
     )
 
     e = _embs(spark, sf_dir)
-    cents = train_ivf_centroids(e, n_cells=8, dim=64, sample=500)
+    cents = fixed_centroids(8, 64)
     q = [float(x) for x in e.filter(F.col("vec_id") == 0).first().embedding]
     return ivf_topk(ivf_index(e, cents), cents, q, k=10, nprobe=3) \
         .select("vec_id", F.round(F.col("cosine_sim"), 4).alias("cosine_sim"))
+
+
+# --- rewrite/path math golden queries (C4-C9, O3/C21) -----------------------
+
+# (case_id, base_path, reference, is_hyperlink, relative_to_root, expected) —
+# rows 0-4 are the reference's own TestResolveURL table
+# (scraper/url_test.go:10-43); the rest pin external-asset prefixing,
+# dir-index splicing, fragment-after-slash, and relative-to-root handling
+# (scraper/url.go:10-116).
+_RESOLVE_CASES = [
+    (0, "", "", True, "", "index.html"),
+    (1, "", "#contents", True, "", "#contents"),
+    (2, "/earth/", "brasil/index.html", True, "", "brasil/index.html"),
+    (3, "/earth/", "brasil/rio/index.html", True, "", "brasil/rio/index.html"),
+    (4, "/earth/", "../argentina/cat.jpg", False, "", "../argentina/cat.jpg"),
+    (5, "/earth/", "https://other.net/pic.jpg", False, "", "_other.net/pic.jpg"),
+    (6, "/earth/", "https://other.net/page.html", True, "",
+     "https://other.net/page.html"),
+    (7, "/earth/brasil/", "/cat.jpg", False, "", "../../cat.jpg"),
+    (8, "/", "/dir/", True, "", "dir/index.html"),
+    (9, "/a/b/", "c#frag", True, "", "c.html#frag"),
+    (10, "/a/b/", "/d/#frag", True, "", "../../d/index.html#frag"),
+    (11, "/x/", "pic.jpg", False, "../", "pic.jpg"),
+    (12, "/x/y", "/z.css", False, "", "../z.css"),
+]
+
+# (case_id, url, is_page, expected) — rows 0-5 from TestGetFilePath
+# (scraper/fileutil_test.go:14-45, seed host google.com, outdir "");
+# 8-9 engage truncateFilename + the FNV-1a32 suffix (fileutil.go:82-113).
+_FILE_PATH_CASES = [
+    (0, "https://github.com/", True, "google.com/_github.com/index.html"),
+    (1, "https://github.com/#fragment", True,
+     "google.com/_github.com/index.html"),
+    (2, "https://github.com/test", True, "google.com/_github.com/test.html"),
+    (3, "https://github.com/test/", True,
+     "google.com/_github.com/test/index.html"),
+    (4, "https://github.com/test.aspx", True,
+     "google.com/_github.com/test.aspx"),
+    (5, "https://google.com/settings", True, "google.com/settings.html"),
+    (6, "https://google.com/img/logo.png", False, "google.com/img/logo.png"),
+    (7, "https://cdn.example.net/a/b/pic.jpg?x=1", False,
+     "google.com/_cdn.example.net/a/b/pic.jpg"),
+    (8, "https://google.com/" + "a" * 230 + ".css", False,
+     "google.com/" + "a" * 188 + "b60c1e82.css"),
+    (9, "https://google.com/dir/" + "b" * 260, True,
+     "google.com/dir/" + "b" * 187 + "c1696d54.html"),
+]
+
+
+def q_rewrite_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-C6 resolveURL against the golden table — the Spark side computes,
+    the oracle states the expected values."""
+    from goscrape_spark.functions.urlmath import resolve_url
+    from goscrape_spark.functions.urlnorm import GoURL
+
+    rows = [(c, bp, ref, link, rel) for c, bp, ref, link, rel, _
+            in _RESOLVE_CASES]
+    src = spark.createDataFrame(
+        rows, "case_id int, base_path string, ref string, "
+              "is_link boolean, rel string")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = [resolve_url(
+                GoURL(scheme="https", host="petpic.xyz", path=bp),
+                ref, "petpic.xyz", bool(link), rel)
+                for bp, ref, link, rel in zip(pdf["base_path"], pdf["ref"],
+                                              pdf["is_link"], pdf["rel"])]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "resolved": out})
+
+    return src.mapInPandas(run, schema="case_id int, resolved string")
+
+
+def q_file_path_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/C9/O3/C21: getFilePath incl. truncateFilename + FNV-1a32 suffix
+    against the golden table."""
+    from goscrape_spark.functions.urlmath import get_file_path
+    from goscrape_spark.functions.urlnorm import parse_url
+
+    rows = [(c, u, p) for c, u, p, _ in _FILE_PATH_CASES]
+    src = spark.createDataFrame(rows,
+                                "case_id int, url string, is_page boolean")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = [get_file_path(parse_url(u), "google.com", "", bool(p))
+                   for u, p in zip(pdf["url"], pdf["is_page"])]
+            yield pd.DataFrame({"case_id": pdf["case_id"], "file_path": out})
+
+    return src.mapInPandas(run, schema="case_id int, file_path string")
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,7 +460,15 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.encode(F.col("text"), "utf-8").alias("body"))
-    return extract_media_features(media_from_fetched(d), dim=8)
+    feats = extract_media_features(media_from_fetched(d), dim=8)
+    # the driver canonicalizer sorts every column, so the array<float>
+    # feature is projected to a stable scalar digest
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.md5(F.concat_ws(",", F.transform(
+            F.col("feature"), lambda x: F.format_number(x, 4))))
+         .alias("feature_md5"),
+        "decode_status")
 
 
 def q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,19 +507,176 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        # rows-only checks (non-SQL-expressible: hashes/LSH/crawl iteration)
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "media_features": q_media_features,
+        "rewrite_math": q_rewrite_math,
+        "file_path_math": q_file_path_math,
         "crawl_fixture": q_crawl_fixture,
+        # rows-only check (blake2b feature chain is not SQL-expressible)
+        "media_features": q_media_features,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+_SQL_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 1000 AS doc_id,
+         array_to_string(
+           (string_split_regex(lower(trim(text)), '\\s+'))
+             [1:((3 * len(string_split_regex(lower(trim(text)), '\\s+'))) // 4)],
+           ' ') AS text
+  FROM documents WHERE doc_id < 30
+)"""
+
+# first-7-hex-chars-of-md5 -> 28-bit integer (mirrors
+# conv(substring(md5(s),1,7),16,10) in operators/dedup._minhash_sig)
+_HEX7 = ("list_reduce(list_transform(range(1, 8), i -> "
+         "(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)::BIGINT), "
+         "(a, b) -> a * 16 + b)")
+
+
+def _minhash_sql() -> str:
+    """Full DuckDB mirror of minhash_lsh_pairs (operators/dedup.py:101-133):
+    md5-derived shingle hashes, the same LCG-seeded (a,b) permutation
+    coefficients folded in as literals, banded md5 buckets, bucket self-join."""
+    from goscrape_spark.operators.dedup import _MERSENNE_P, _lcg
+
+    num_perm, bands, seed = 32, 8, 42
+    r = num_perm // bands
+    rnd = _lcg(seed)
+    coeffs = [((next(rnd) & 0x7FFFFFFF) | 1, next(rnd) & 0x7FFFFFFF)
+              for _ in range(num_perm)]
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs)
+    return f"""
+WITH {_SQL_AUG},
+w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM aug),
+sh AS (
+  SELECT doc_id AS id, list_distinct(
+    CASE WHEN len(ws) - 2 <= 0 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1),
+                             i -> array_to_string(ws[i:i+2], ' ')) END) AS shs
+  FROM w),
+hh AS (SELECT id, list_transform(shs, s -> {_HEX7}) AS hs FROM sh),
+sigs AS (SELECT id, [{sig_exprs}] AS sig FROM hh),
+banded AS (
+  SELECT id, b AS band,
+         md5(b::VARCHAR || '_' || array_to_string(
+           list_transform(sig[b*{r}+1 : b*{r}+{r}], x -> x::VARCHAR), ','))
+           AS bucket
+  FROM sigs, (SELECT unnest(range({bands})) AS b))
+SELECT DISTINCT a.id AS id1, b.id AS id2
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"""
+
+
+_SIMHASH_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+th AS (
+  SELECT doc_id, list_transform(ws, t -> struct_pack(
+    hi := list_reduce(list_transform(range(1, 9),
+      i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT),
+      (a, b) -> a * 16 + b),
+    lo := list_reduce(list_transform(range(9, 17),
+      i -> (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)::BIGINT),
+      (a, b) -> a * 16 + b))) AS hs
+  FROM w),
+bits AS (
+  SELECT doc_id, b,
+    list_sum(list_transform(hs, h -> CASE WHEN
+      (CASE WHEN b < 32 THEN (h.lo >> b) ELSE (h.hi >> (b - 32)) END) & 1 = 1
+      THEN 1 ELSE -1 END)) AS s
+  FROM th, (SELECT unnest(range(64)) AS b))
+SELECT doc_id AS id,
+  (sum(CASE WHEN s > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+   - sum(CASE WHEN s > 0 AND b = 63 THEN 9223372036854775807 ELSE 0 END)
+   - sum(CASE WHEN s > 0 AND b = 63 THEN 1 ELSE 0 END))::BIGINT AS simhash
+FROM bits GROUP BY doc_id"""
+
+
+def _ann_sql() -> str:
+    """Mirror of ann_topk_lsh at probe_radius=1: the deterministic
+    hyperplanes are folded in as double literals; a candidate qualifies
+    when its sign-bit vector is within Hamming distance 1 of the query's."""
+    from goscrape_spark.operators.similarity import _hyperplane
+
+    n_planes, dim, seed = 4, 64, 42
+    lits = ["[" + ", ".join(repr(x) for x in _hyperplane(seed, p, dim)) +
+            "]::DOUBLE[]" for p in range(n_planes)]
+    ebits = ", ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+        f"THEN 1 ELSE 0 END) AS b{p}" for p, lit in enumerate(lits))
+    qbits = ", ".join(
+        f"(CASE WHEN list_dot_product(qe, {lit}) >= 0 "
+        f"THEN 1 ELSE 0 END) AS q{p}" for p, lit in enumerate(lits))
+    ham = " + ".join(f"abs(b{p} - q{p})" for p in range(n_planes))
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, {ebits} FROM embeddings),
+qb AS (SELECT qe, {qbits} FROM q),
+cand AS (SELECT vec_id, v, qe FROM e, qb WHERE {ham} <= 1),
+scored AS (
+  SELECT vec_id, round(list_dot_product(v, qe) /
+    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))), 6) AS s
+  FROM cand)
+SELECT vec_id, round(s, 4) AS cosine_sim
+FROM scored ORDER BY s DESC, vec_id LIMIT 10"""
+
+
+def _ivf_sql() -> str:
+    """Mirror of q_ivf_topk over the fixed deterministic centroids:
+    argmax-cosine cell assignment (ties -> lowest cell id), probe the 3
+    query-nearest cells, exact rank within them."""
+    from goscrape_spark.operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(8, 64)
+    values = ", ".join(
+        "(" + str(cid) + ", [" + ", ".join(repr(x) for x in c) +
+        "]::DOUBLE[])" for cid, c in enumerate(cents))
+    cos = ("list_dot_product({v}, c) / "
+           "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product(c, c)))")
+    return f"""
+WITH cents(cid, c) AS (VALUES {values}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY {cos.format(v='qe')} DESC, cid) AS rn
+    FROM cents, q) WHERE rn <= 3),
+assign AS (
+  SELECT vec_id, v FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v, cid,
+      row_number() OVER (PARTITION BY vec_id
+        ORDER BY {cos.format(v='embedding::DOUBLE[]')} DESC, cid) AS rn
+    FROM embeddings, cents) t
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+scored AS (
+  SELECT vec_id, round(list_dot_product(v, qe) /
+    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))), 6) AS s
+  FROM assign, q)
+SELECT vec_id, round(s, 4) AS cosine_sim
+FROM scored ORDER BY s DESC, vec_id LIMIT 10"""
+
+
+def _golden_values_sql(rows: list[tuple], cols: str) -> str:
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+    vals = ", ".join("(" + ", ".join(lit(x) for x in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -514,9 +789,10 @@ def oracle_sql() -> dict[str, str]:
             "  i -> md5(array_to_string(ws[i:i+2], ' ')))) AS fp FROM w",
 
         "ngram_jaccard": f"""
-            WITH w AS (
+            WITH {_SQL_AUG},
+            w AS (
               SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM documents WHERE doc_id < 40),
+              FROM aug),
             sh AS (
               SELECT DISTINCT doc_id, unnest(list_transform(
                 range(1, len(ws)-1),
@@ -531,7 +807,26 @@ def oracle_sql() -> dict[str, str]:
               round(i / (sa.sz + sb.sz - i), 4) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id1
                        JOIN sizes sb ON sb.doc_id = id2
-            WHERE i / (sa.sz + sb.sz - i) >= 0.1""",
+            WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2""",
+
+        "minhash_lsh": _minhash_sql(),
+
+        "simhash": _SIMHASH_SQL,
+
+        "ann_lsh_topk": _ann_sql(),
+
+        "ivf_topk": _ivf_sql(),
+
+        "rewrite_math": _golden_values_sql(
+            [(c, e) for c, _, _, _, _, e in _RESOLVE_CASES],
+            "case_id, resolved"),
+
+        "file_path_math": _golden_values_sql(
+            [(c, e) for c, _, _, e in _FILE_PATH_CASES],
+            "case_id, file_path"),
+
+        "crawl_fixture": _golden_values_sql(
+            [("/",), ("/page2",), ("/sub",), ("/style.css",)], "dedup_key"),
 
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

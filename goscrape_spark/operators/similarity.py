@@ -77,20 +77,48 @@ def rp_lsh_buckets(df: DataFrame, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", F.concat(*bits))
 
 
-def ann_topk_lsh(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
-                 n_planes: int = 8, id_col: str = "vec_id",
-                 vec_col: str = "embedding", seed: int = 42) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket
-    (falling back to full scan if the bucket has < k rows is left to the
-    caller; bench compares recall vs cosine_topk)."""
+def query_bucket_bits(query_vec: list[float], dim: int, n_planes: int,
+                      seed: int = 42) -> str:
+    """The query's sign-bucket under the deterministic hyperplanes."""
     qbits = ""
     for p in range(n_planes):
         plane = _hyperplane(seed, p, dim)
         dot = sum(a * b for a, b in zip(query_vec, plane))
         qbits += "1" if dot >= 0 else "0"
+    return qbits
+
+
+def probe_buckets(qbits: str, radius: int) -> list[str]:
+    """Multi-probe bucket ring: all buckets within Hamming distance
+    <= radius of the query bucket (radius 1 = flip each bit once)."""
+    from itertools import combinations
+
+    out = [qbits]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(len(qbits)), r):
+            b = list(qbits)
+            for i in flips:
+                b[i] = "0" if b[i] == "1" else "1"
+            out.append("".join(b))
+    return out
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], dim: int, k: int = 10,
+                 n_planes: int = 8, id_col: str = "vec_id",
+                 vec_col: str = "embedding", seed: int = 42,
+                 probe_radius: int = 1, fallback: bool = False) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket ring
+    (multi-probe: the bucket plus its Hamming-<=radius neighbors — the
+    standard fix for near-boundary queries and sparse buckets).  With
+    ``fallback=True`` a ring holding fewer than k rows degrades to the
+    exact full scan, guaranteeing k results."""
+    qbits = query_bucket_bits(query_vec, dim, n_planes, seed)
+    ring = probe_buckets(qbits, probe_radius)
     bucketed = rp_lsh_buckets(df, dim, n_planes, id_col, vec_col, seed)
-    return cosine_topk(bucketed.filter(F.col("bucket") == qbits), query_vec,
-                       k, id_col, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(ring))
+    if fallback and cand.count() < k:
+        cand = bucketed  # degenerate ring: exact scan keeps recall = 1
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(df: DataFrame, dim: int, threshold: float = 0.9,
@@ -145,6 +173,15 @@ def train_ivf_centroids(df: DataFrame, n_cells: int, dim: int,
     return [[float(x) for x in c] for c in cents]
 
 
+def fixed_centroids(n_cells: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Data-independent deterministic centroids (hash-gaussian directions).
+    A valid-but-unlearned coarse quantizer: cell assignment and probing
+    behave identically to trained centroids, so this tier is the
+    DuckDB-mirrorable one (centroid literals are pure functions of the
+    seed); ``train_ivf_centroids`` learns better-balanced cells."""
+    return [_hyperplane(seed * 1_000_003 + 17, c, dim) for c in range(n_cells)]
+
+
 def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
     """argmax-cosine cell id as pure column expressions."""
     best_id = F.lit(0)
@@ -184,7 +221,9 @@ def ivf_topk(indexed: DataFrame, centroids: list[list[float]],
         cn = _math.sqrt(sum(x * x for x in cent)) or 1.0
         sims.append((sum(a * b for a, b in zip(query_vec, cent)) / (qn * cn),
                      cid))
-    probe_cells = [cid for _, cid in sorted(sims, reverse=True)[:nprobe]]
+    # ties break on the LOWER cell id (matches _cell_assign and the oracle)
+    probe_cells = [cid for _, cid in
+                   sorted(sims, key=lambda t: (-t[0], t[1]))[:nprobe]]
     return cosine_topk(indexed.filter(F.col("cell").isin(probe_cells)),
                        query_vec, k, id_col, vec_col)
 

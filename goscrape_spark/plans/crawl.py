@@ -286,13 +286,16 @@ class Crawler:
                 # distributed per-partition build, OR-merged driver-side
                 self.bloom.add_keys_df(delta)
 
-            # next frontier: page survivors ordered by the composite key (W2)
-            next_pages = (survivors.filter(~F.col("is_asset"))
-                          .withColumn("_ord", F.row_number().over(
-                              Window.orderBy(*[F.col(c) for c in ORDER_COLS])))
-                          .select(F.col("url"),
-                                  (F.col("depth") + 1).alias("depth"),
-                                  (F.lit(next_seq) + F.col("_ord") - 1).alias("seq")))
+            # next frontier: page survivors ordered by the composite key
+            # (W2).  global_sequence range-partitions + offsets instead of a
+            # single-task global window once the epoch is wide enough.
+            from ..operators.ranking import global_sequence
+            next_pages = global_sequence(
+                survivors.filter(~F.col("is_asset"))
+                         .select("url", "depth", *ORDER_COLS),
+                ORDER_COLS, start=next_seq, out_col="seq",
+                parts=parts).select(
+                    "url", (F.col("depth") + 1).alias("depth"), "seq")
             next_pages = self._localckpt(next_pages, "next_pages")
             n_next = next_pages.count()
             next_seq += n_next

@@ -21,8 +21,12 @@ from pyspark.sql import functions as F
 def synthetic_site(spark: SparkSession, n_pages: int, fanout: int = 8,
                    n_assets: int = 1000, n_ext_hosts: int = 10,
                    host: str = "bench.example.org", seed: int = 42,
-                   skew: float = 3.0) -> DataFrame:
-    """Return a ``pages`` DataFrame (url, body, resp_url, retry_after)."""
+                   skew: float = 3.0, filler_repeat: int = 40) -> DataFrame:
+    """Return a ``pages`` DataFrame (url, body, resp_url, retry_after).
+
+    ``filler_repeat`` sizes the per-page text body (~38 bytes per repeat):
+    40 ~= 1.5 KB (fast tests), 160+ approximates real page weight where
+    extract/rewrite CPU dominates per-page cost."""
     pages = spark.range(n_pages).withColumnRenamed("id", "i")
 
     first_child = F.col("i") * fanout + 1
@@ -54,10 +58,10 @@ def synthetic_site(spark: SparkSession, n_pages: int, fanout: int = 8,
         F.lit(".png'); } .x { background: url(/img/tile"),
         (F.col("i") % 11).cast("string"), F.lit(".png); }</style>"))
 
-    # ~1.5 KB deterministic filler text: realistic extract/rewrite CPU load
+    # deterministic filler text: realistic extract/rewrite CPU load
     filler = F.repeat(
         F.concat(F.lit("lorem"), (F.col("i") % 97).cast("string"),
-                 F.lit(" ipsum dolor sit amet consectetur ")), 40)
+                 F.lit(" ipsum dolor sit amet consectetur ")), filler_repeat)
 
     body = F.concat(
         F.lit("<html><head><title>p"), F.col("i").cast("string"),
