@@ -172,25 +172,35 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
         for pdf in batches:
             n = len(pdf)
-            acc = np.zeros((n, 64), dtype=np.int64)
-            doc_ix: list[int] = []
-            toks_flat: list[str] = []
-            for i, toks in enumerate(pdf["ws"]):
-                if toks is None or len(toks) == 0:
-                    continue
-                doc_ix.extend([i] * len(toks))
-                toks_flat.extend(toks)
-            if toks_flat:
-                uniq, inv = np.unique(np.asarray(toks_flat, dtype=object),
-                                      return_inverse=True)
+            lens = np.fromiter(
+                (0 if t is None else len(t) for t in pdf["ws"]),
+                dtype=np.int64, count=n)
+            flat = [x for t in pdf["ws"] if t is not None for x in t]
+            if flat:
+                codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+                u = len(uniq)
                 digests = np.frombuffer(
                     b"".join(hashlib.md5(t.encode()).digest()[:8]
                              for t in uniq), dtype=np.uint8)
-                bits = np.unpackbits(digests).reshape(len(uniq), 64)
-                signs = bits.astype(np.int64) * 2 - 1   # (uniq, 64) in {-1,1}
-                np.add.at(acc, np.asarray(doc_ix), signs[inv])
-            # bit k of the signature = sign of column k; the md5 big-endian
-            # bit order (np.unpackbits MSB-first) maps column j to bit 63-j
+                bits = np.unpackbits(digests).reshape(u, 64)
+                if u <= 4096:
+                    # small vocab: per-doc token counts x bit matrix (matmul)
+                    doc_ix = np.repeat(np.arange(n), lens)
+                    counts = np.bincount(doc_ix * u + codes,
+                                         minlength=n * u).reshape(n, u)
+                    ones = counts @ bits.astype(np.int64)
+                else:
+                    # large vocab: contiguous per-doc segment reduce
+                    bounds = np.zeros(n, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=bounds[1:])
+                    ones = np.add.reduceat(
+                        bits[codes].astype(np.int32), bounds, axis=0)
+                acc = 2 * ones - lens[:, None]   # sum over tokens of +-1
+                acc[lens == 0] = 0
+            else:
+                acc = np.zeros((n, 64), dtype=np.int64)
+            # bit k of the signature = sign of bit-k sum; np.unpackbits is
+            # MSB-first, so matrix column j maps to signature bit 63-j
             weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
             out = ((acc > 0).astype(np.uint64) * weights).sum(
                 axis=1, dtype=np.uint64)
