@@ -81,11 +81,20 @@ _SIGNATURES: list[tuple[str, bytes, int]] = [
 SNIFF_HEAD_BYTES = 300
 
 
+# first-byte dispatch: a page body (e.g. '<') only probes the handful of
+# signatures that could still match (non-zero offsets), not all of them
+_OFFSET_SIGS = [s for s in _SIGNATURES if s[2] != 0]
+_JUMP: dict[int, list[tuple[str, bytes, int]]] = {
+    first: [s for s in _SIGNATURES if s[2] != 0 or s[1][0] == first]
+    for first in {m[0] for _, m, off in _SIGNATURES if off == 0}
+}
+
+
 def sniff_extension(data: bytes) -> str:
     """Return the matched file extension, or '' for unknown (= HTML page)."""
     if not data:
         return ""
-    for ext, magic, off in _SIGNATURES:
+    for ext, magic, off in _JUMP.get(data[0], _OFFSET_SIGS):
         if data[off : off + len(magic)] == magic:
             return ext
     return ""

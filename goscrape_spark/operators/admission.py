@@ -90,15 +90,22 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
     inserts on the ``survived`` flag) so callers can checkpoint ``inserts``
     once and derive both.
     """
-    if {"scheme", "host", "path"} <= set(candidates.columns):
-        parts = candidates  # components precomputed upstream (extract fast path)
+    if "dedup_key" in candidates.columns:
+        # fully precomputed upstream (the fused extraction pass computes the
+        # key and drops non-http(s) refs at the source — the scheme check
+        # precedes the seen insert, checks.go:27-29, so they are observable
+        # nowhere): zero per-candidate JVM regex work here
+        keyed = candidates
     else:
-        parts = with_url_parts(candidates)
-    valid = parts.filter(col_scheme_ok(F.col("scheme")))
-    keyed = valid.withColumn(
-        "dedup_key",
-        col_dedup_key(F.col("url"), F.col("host"), F.col("path"),
-                      F.lit(seed_host)))
+        if {"scheme", "host", "path"} <= set(candidates.columns):
+            parts = candidates  # components precomputed upstream
+        else:
+            parts = with_url_parts(candidates)
+        valid = parts.filter(col_scheme_ok(F.col("scheme")))
+        keyed = valid.withColumn(
+            "dedup_key",
+            col_dedup_key(F.col("url"), F.col("host"), F.col("path"),
+                          F.lit(seed_host)))
 
     # W1 first-wins as min_by hash aggregation, NOT a row_number window: a
     # window piles every row of a hot dedup_key (think: the one logo/css

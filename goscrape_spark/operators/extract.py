@@ -362,6 +362,86 @@ MINIMAL_SCHEMA = ("url string, kind string, media_ref string, "
                   "ref_no_frag string, scheme string, host string, "
                   "path string")
 
+PROCESSED_SCHEMA = (
+    "url string, seq bigint, file_path string, body binary, "
+    "is_page boolean, refs array<struct<kind:string, media_ref:string, "
+    "ref_no_frag:string, scheme:string, host:string, path:string, "
+    "dedup_key:string>>")
+
+
+def ref_dedup_key(ref_no_frag: str, host: str, path: str,
+                  seed_host: str) -> str:
+    """The shouldURLBeDownloaded key projection (scraper/checks.go:31-40)
+    on pre-split URL parts: path for same-host, full fragment-free URL for
+    external, '' -> '/', trailing slash dropped.  Mirrors
+    functions.urlnorm.dedup_key / col_dedup_key exactly."""
+    base = path if host == seed_host else ref_no_frag
+    if base == "":
+        base = "/"
+    if base != "/" and base.endswith("/"):
+        base = base[:-1]
+    return base
+
+
+def process_pages_df(pages: "DataFrame", seed_host: str,
+                     outdir: str) -> "DataFrame":
+    """FUSED per-page pass: media-ref extraction (C17/A1), binary sniff
+    (F11), offline rewrite (C4-C18), and output-path computation (C7/C8)
+    in ONE Arrow stage — each page body crosses the JVM->Python boundary
+    exactly once per epoch (separate extract/rewrite/path stages shipped
+    it three times; the boundary copy, not the parsing, dominates at
+    ~KB-sized pages).  Refs come back as an array<struct> column and are
+    exploded JVM-side for candidate generation — the same span-array
+    document shape as the input_hint table.
+
+    Refs arrive with their admission ``dedup_key`` precomputed (string ops
+    are ~free here; the JVM regex projection it replaces runs per candidate
+    at 10^10-row scale) and non-http(s) refs are dropped at the source: the
+    reference's scheme check precedes the seen insert
+    (scraper/checks.go:27-29), so such refs are observable nowhere —
+    not in the seen set, the fetch log, or the output tree.
+
+    Input: (url, body, seq).  Output: PROCESSED_SCHEMA, one row per page,
+    ``body`` already rewritten for pages / raw for binaries
+    (scraper/scraper.go:240-273 storeDownload semantics)."""
+    from ..functions.filetype import sniff_extension
+    from ..functions.urlmath import get_file_path
+    from .rewrite import rewrite_document
+
+    def run(batches) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            urls, seqs, fps, outs, isp, refs_col = [], [], [], [], [], []
+            for url, body, seq in zip(pdf["url"], pdf["body"], pdf["seq"]):
+                raw = bytes(body) if body is not None else b""
+                is_page = sniff_extension(raw) == ""
+                text = _decode(raw)
+                refs = [
+                    {"kind": k, "media_ref": m, "ref_no_frag": nf,
+                     "scheme": s, "host": h, "path": p,
+                     "dedup_key": ref_dedup_key(nf, h, p, seed_host)}
+                    for k, m, nf, s, h, p in extract_media_refs(text, url)
+                    if s in ("http", "https")]
+                if is_page:
+                    new_text, changed = rewrite_document(text, url, seed_host)
+                    out = new_text.encode("utf-8") if changed else raw
+                else:
+                    out = raw
+                urls.append(url)
+                seqs.append(seq)
+                fps.append(get_file_path(parse_url(url), seed_host, outdir,
+                                         is_page))
+                outs.append(out)
+                isp.append(is_page)
+                refs_col.append(refs)
+            yield pd.DataFrame({"url": urls, "seq": seqs, "file_path": fps,
+                                "body": outs, "is_page": isp,
+                                "refs": refs_col})
+
+    return pages.select("url", "body", "seq") \
+                .mapInPandas(run, schema=PROCESSED_SCHEMA)
+
 
 def extract_spans_df(fetched: DataFrame, url_col: str = "url",
                      body_col: str = "body",

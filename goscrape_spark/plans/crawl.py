@@ -41,13 +41,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
-from ..functions.filetype import SNIFF_HEAD_BYTES, sniff_extension
-from ..functions.urlmath import get_file_path
 from ..functions.urlnorm import GoURL, parse_url
 from ..operators.admission import ORDER_COLS, admit
 from ..operators.cssx import css_extract
-from ..operators.extract import extract_spans_df
-from ..operators.rewrite import rewrite_document
+from ..operators.extract import (
+    extract_spans_df,
+    process_pages_df,
+    ref_dedup_key,
+)
 from ..operators.seen import SeenSet
 
 # stage ranks reproducing the sequential consideration order (SURVEY §3.4)
@@ -57,7 +58,8 @@ STAGE_RANKS = {"page": 0, "link": 1, "script": 2, "body": 3, "style": 4,
 CAND_SCHEMA = ("page_url string, parent_seq bigint, stage_rank int, "
                "sub_rank int, intra1 int, intra2 int, url string, "
                "scheme string, host string, path string, "
-               "is_asset boolean, depth int, stage string")
+               "is_asset boolean, depth int, stage string, "
+               "dedup_key string")
 
 FETCH_SCHEMA = ("url string, body binary, resp_url string, retry_after int")
 
@@ -199,20 +201,26 @@ class Crawler:
                 fetched = self._rebase_seed(fetched)
 
             pages_ok = fetched.filter(F.col("status") == "ok")
-            # fan the CPU-heavy Arrow extraction out to all cores regardless
-            # of the (data-sized) shuffle partitioning.  Only MEDIA spans are
-            # materialized in-loop (they drive candidates); the full
-            # interleaved span table (with text runs) stays lazy and is only
-            # computed if the caller materializes CrawlResult.documents.
+            # FUSED per-page Arrow pass (operators/extract.process_pages_df):
+            # media-ref extraction + binary sniff + offline rewrite + output
+            # path in ONE stage, so each body crosses the JVM->Python
+            # boundary once per epoch; fanned out to all cores regardless of
+            # the (data-sized) shuffle partitioning.  The full interleaved
+            # span table (with text runs) stays lazy and is only computed if
+            # the caller materializes CrawlResult.documents.
             page_bodies = pages_ok.select(
-                F.col("page_url").alias("url"), "body")
+                F.col("page_url").alias("url"), "body", "seq")
             if cpu_parts != parts:
                 # only worth a body shuffle when it actually adds parallelism
                 # (small epochs); at big epochs the fetch join already ran at
                 # the same width
                 page_bodies = page_bodies.repartition(cpu_parts, "url")
-            spans = extract_spans_df(page_bodies, minimal=True)
-            spans = self._localckpt(spans, "spans")
+            processed = self._localckpt(
+                process_pages_df(page_bodies, self.seed_host,
+                                 self.config.output_directory), "processed")
+            # candidate spans: JVM-side explode of the per-page ref array
+            spans = (processed.select("url", F.explode("refs").alias("r"))
+                     .select("url", "r.*"))
 
             page_meta = pages_ok.select(
                 F.col("page_url"), F.col("seq").alias("parent_seq"),
@@ -224,13 +232,10 @@ class Crawler:
                 .drop("page_url")
                 .withColumn("epoch", F.lit(epoch)))
 
-            # candidates stay lazy: derived from the checkpointed spans, they
-            # are consumed once (twice only when the CSS fixpoint iterates)
-            # file paths the ok pages of this epoch will write, with their
-            # global sequence — the "filesystem state" the fileExists check
-            # (scraper/download.go:76-79) consults for asset admission
-            page_paths = self._localckpt(
-                self._page_writer_paths(pages_ok), "page_paths")
+            # file paths the ok pages of this epoch write (the "filesystem
+            # state" the fileExists check consults, download.go:76-79) fall
+            # out of the fused pass for free
+            page_paths = processed.select("file_path", "seq")
 
             candidates = self._base_candidates(spans, page_meta)
 
@@ -260,19 +265,24 @@ class Crawler:
             fetch_logs.append(page_log)
             fetch_logs.append(asset_fetch.drop("body", "file_path"))
 
-            # output table: pages (rewritten) + fetched assets
-            outputs.append(self._page_outputs(
-                pages_ok, epoch, cpu_parts if cpu_parts != parts else 0))
+            # output table: pages (already rewritten in the fused pass) +
+            # fetched assets
+            outputs.append(
+                processed.select("url", "file_path", "body", "is_page", "seq")
+                .withColumn("wpos", F.struct(
+                    F.lit(epoch).alias("epoch"), self._page_pos().alias("pos")))
+                .drop("seq")
+                .withColumn("epoch", F.lit(epoch)))
             outputs.append(self._asset_outputs(asset_fetch, epoch))
 
             # filesystem-state accumulation: every ok page write + every ok
             # (unblocked) asset write becomes an existing file for later
-            # epochs' fileExists admission
-            written_delta = self._localckpt(
-                page_paths.select("file_path").unionByName(
-                    asset_fetch.filter(F.col("status") == "ok")
-                               .select("file_path")).distinct(),
-                "written_delta")
+            # epochs' fileExists admission.  Lazy union of projections of
+            # checkpointed frames — duplicates are harmless for the
+            # anti-join, so no distinct shuffle.
+            written_delta = page_paths.select("file_path").unionByName(
+                asset_fetch.filter(F.col("status") == "ok")
+                           .select("file_path"))
             written = written.unionByName(written_delta)
 
             # seen append (insert-before-reject: ALL admitted keys).  The
@@ -457,9 +467,9 @@ class Crawler:
         # reference string WITH fragment, exactly like the index's
         # sort.Strings over resolved URLs (htmlindex.go:73-77)
         ref_struct = F.struct("media_ref", "ref_no_frag", "scheme", "host",
-                              "path")
+                              "path", "dedup_key")
         empty = ("array<struct<media_ref:string,ref_no_frag:string,"
-                 "scheme:string,host:string,path:string>>")
+                 "scheme:string,host:string,path:string,dedup_key:string>>")
 
         def refs(tag: str):
             return F.coalesce(
@@ -491,7 +501,8 @@ class Crawler:
                     x["host"].alias("host"),
                     x["path"].alias("path"),
                     F.lit(is_asset).alias("is_asset"),
-                    F.lit(stage_name).alias("stage")))
+                    F.lit(stage_name).alias("stage"),
+                    x["dedup_key"].alias("dedup_key")))
 
         # Rank 5 carries ONLY the img refs, although the sequential loop also
         # re-enqueues the body-bg refs at the head of the images queue
@@ -521,7 +532,8 @@ class Crawler:
                         F.col("c.host").alias("host"),
                         F.col("c.path").alias("path"),
                         F.col("c.is_asset").alias("is_asset"), F.col("depth"),
-                        F.col("c.stage").alias("stage")))
+                        F.col("c.stage").alias("stage"),
+                        F.col("c.dedup_key").alias("dedup_key")))
 
     # ------------------------------------------------------------------
     def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
@@ -574,46 +586,11 @@ class Crawler:
     # ------------------------------------------------------------------
     def _with_asset_paths(self, assets: DataFrame) -> DataFrame:
         """Output file path per admitted asset (C8) — needed BEFORE the
-        fetch, because the fileExists check gates the fetch itself."""
-        seed_host = self.seed_host
-        outdir = self.config.output_directory
-
-        def run(batches) -> Iterator:
-            import pandas as pd
-            for pdf in batches:
-                pdf = pdf.copy()
-                pdf["file_path"] = [
-                    get_file_path(parse_url(u), seed_host, outdir, False)
-                    for u in pdf["url"]]
-                yield pdf
-
-        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                           for f in assets.schema.fields) + ", file_path string"
-        return assets.mapInPandas(run, schema=schema)
-
-    def _page_writer_paths(self, pages_ok: DataFrame) -> DataFrame:
-        """(file_path, seq) each ok page of this epoch writes.  Pages always
-        (over)write — no fileExists check on the page path
-        (scraper/scraper.go:240-273) — so every ok page is a writer.  Only a
-        body head ships to Python: sniffing needs SNIFF_HEAD_BYTES."""
-        seed_host = self.seed_host
-        outdir = self.config.output_directory
-        src = pages_ok.select(
-            "seq", "page_url",
-            F.expr(f"substring(body, 1, {SNIFF_HEAD_BYTES})").alias("head"))
-
-        def run(batches) -> Iterator:
-            import pandas as pd
-            for pdf in batches:
-                paths = []
-                for url, head in zip(pdf["page_url"], pdf["head"]):
-                    raw = bytes(head) if head is not None else b""
-                    is_page = sniff_extension(raw) == ""
-                    paths.append(get_file_path(parse_url(url), seed_host,
-                                               outdir, is_page))
-                yield pd.DataFrame({"file_path": paths, "seq": pdf["seq"]})
-
-        return src.mapInPandas(run, schema="file_path string, seq bigint")
+        fetch, because the fileExists check gates the fetch itself.
+        Column-expression fast path, Python fallback for odd paths."""
+        from ..functions.urlmath import attach_file_path
+        return attach_file_path(assets, self.seed_host,
+                                self.config.output_directory, F.lit(False))
 
     @staticmethod
     def _pos():
@@ -651,41 +628,55 @@ class Crawler:
         pos = self._pos()
         page_w = page_paths.select("file_path", self._page_pos().alias("pos"))
 
+        # Collision pre-filter: an asset can only be fileExists-blocked if
+        # its path (a) repeats within this epoch's admitted assets, (b) is
+        # also written by a page this epoch, or (c) was written in an
+        # earlier epoch.  Everything else is allowed outright — no status
+        # join, no chain logic; blockers are a tiny distinct-path set.
+        dup_paths = (aw.groupBy("file_path")
+                     .agg(F.count(F.lit(1)).alias("_n"))
+                     .filter(F.col("_n") > 1).select("file_path"))
+        blockers = (dup_paths
+                    .unionByName(page_w.select("file_path"))
+                    .unionByName(written))
+        clean = aw.join(blockers, "file_path", "left_anti")
+        cand = aw.join(blockers, "file_path", "left_semi")
+
         if not self.live:
-            st = (self._do_fetch(aw.select("url").distinct())
+            st = (self._do_fetch(cand.select("url").distinct())
                   .select("url", "status", "attempts"))
-            aw = (aw.join(st, on="url", how="left")
-                  .withColumn("status",
+            cs = (cand.join(st, on="url", how="left")
+                  .withColumn("_st",
                               F.coalesce(F.col("status"), F.lit("missing")))
-                  .withColumn("attempts",
-                              F.coalesce(F.col("attempts"), F.lit(1))))
-            aw = self._localckpt(aw, "assets_statused")
-            ok_w = (aw.filter(F.col("status") == "ok")
+                  .drop("status", "attempts"))
+            ok_w = (cs.filter(F.col("_st") == "ok")
                     .select("file_path", pos.alias("pos")))
             first_ok = (ok_w.unionByName(page_w)
                         .groupBy("file_path")
                         .agg(F.min("pos").alias("_first_ok")))
-            allowed = (aw.join(written, "file_path", "left_anti")
-                       .join(first_ok, "file_path", "left")
-                       .filter(F.col("_first_ok").isNull()
-                               | (pos <= F.col("_first_ok")))
-                       .drop("_first_ok"))
+            kept = (cs.join(written, "file_path", "left_anti")
+                    .join(first_ok, "file_path", "left")
+                    .filter(F.col("_first_ok").isNull()
+                            | (pos <= F.col("_first_ok")))
+                    .drop("_first_ok", "_st"))
+            allowed = clean.unionByName(kept)
             return self._localckpt(allowed, "assets_allowed"), None
 
         # live: block on earlier epochs + earlier page writers, keep the
         # first candidate per path, defer the rest for the failure-chain loop
         pw_first = page_w.groupBy("file_path").agg(F.min("pos").alias("_pw"))
-        unblocked = (aw.join(written, "file_path", "left_anti")
+        unblocked = (cand.join(written, "file_path", "left_anti")
                      .join(pw_first, "file_path", "left")
                      .filter(F.col("_pw").isNull() | (pos < F.col("_pw")))
                      .drop("_pw"))
         first_pos = unblocked.groupBy("file_path").agg(F.min(pos).alias("_first"))
         j = unblocked.join(first_pos, "file_path", "left")
-        allowed = j.filter(pos == F.col("_first")).drop("_first")
+        kept = j.filter(pos == F.col("_first")).drop("_first")
         deferred = j.filter(pos != F.col("_first")).drop("_first")
         deferred = self._localckpt(deferred, "assets_deferred")
         if deferred.isEmpty():
             deferred = None
+        allowed = clean.unionByName(kept)
         return self._localckpt(allowed, "assets_allowed"), deferred
 
     def _discover_css(self, link_surv: DataFrame) -> DataFrame | None:
@@ -714,11 +705,13 @@ class Crawler:
                             .select("url", "body"),
                             on="url", how="inner")
 
+        seed_host = self.seed_host
+
         def run(batches) -> Iterator:
             import pandas as pd
             cols = ["page_url", "parent_seq", "stage_rank", "sub_rank",
                     "intra1", "intra2", "url", "scheme", "host", "path",
-                    "is_asset", "depth", "stage"]
+                    "is_asset", "depth", "stage", "dedup_key"]
             for pdf in batches:
                 rows = []
                 for url, page_url, pseq, lintra, depth, body in zip(
@@ -729,10 +722,16 @@ class Crawler:
                     base = parse_url(url)
                     for k, ref in enumerate(css_extract(text, base)):
                         ru = parse_url(ref.src)  # RAW src (css/css.go:44-52)
+                        if ru.scheme not in ("http", "https"):
+                            # scheme-rejected BEFORE any seen insert
+                            # (checks.go:27-29): observable nowhere
+                            continue
+                        no_frag = ref.src.split("#", 1)[0]
                         rows.append((page_url, pseq, 5, 1, int(lintra), k,
-                                     ref.src.split("#", 1)[0],
-                                     ru.scheme, ru.host, ru.path, True,
-                                     int(depth), "css-image"))
+                                     no_frag, ru.scheme, ru.host, ru.path,
+                                     True, int(depth), "css-image",
+                                     ref_dedup_key(no_frag, ru.host, ru.path,
+                                                   seed_host)))
                 yield pd.DataFrame(rows, columns=cols)
 
         out = fetched.mapInPandas(run, schema=CAND_SCHEMA) \
@@ -768,9 +767,9 @@ class Crawler:
         candidates whose predecessors all failed, one wave per chain level —
         the exact sequential fileExists semantics."""
         if not self.live:
-            bodies = self._do_fetch(allowed.select("url").distinct()) \
-                         .select("url", "body")
-            joined = self._schedule(allowed).join(bodies, on="url", how="left")
+            fetched = self._do_fetch(allowed.select("url").distinct()) \
+                          .select("url", "body", "status", "attempts")
+            joined = self._schedule(allowed).join(fetched, on="url", how="left")
             return self._asset_log_select(joined, epoch)
 
         rounds: list[DataFrame] = []
@@ -802,46 +801,6 @@ class Crawler:
         for r in rounds[1:]:
             out = out.unionByName(r)
         return out
-
-    def _page_outputs(self, pages_ok: DataFrame, epoch: int,
-                      cpu_parts: int = 0) -> DataFrame:
-        seed_host = self.seed_host
-        outdir = self.config.output_directory
-        if cpu_parts:
-            # the rewrite scan is the other CPU-heavy Arrow stage
-            pages_ok = pages_ok.repartition(cpu_parts, "page_url")
-
-        def run(batches) -> Iterator:
-            import pandas as pd
-            for pdf in batches:
-                urls, paths, bodies, is_pages = [], [], [], []
-                for url, body in zip(pdf["page_url"], pdf["body"]):
-                    raw = bytes(body) if body is not None else b""
-                    ext = sniff_extension(raw)
-                    is_page = ext == ""
-                    text = raw.decode("utf-8", errors="replace")
-                    if is_page:
-                        new_text, changed = rewrite_document(text, url, seed_host)
-                        out = new_text.encode("utf-8") if changed else raw
-                    else:
-                        out = raw
-                    u = parse_url(url)
-                    paths.append(get_file_path(u, seed_host, outdir, is_page))
-                    urls.append(url)
-                    bodies.append(out)
-                    is_pages.append(is_page)
-                yield pd.DataFrame({"url": urls, "file_path": paths,
-                                    "body": bodies, "is_page": is_pages,
-                                    "seq": pdf["seq"]})
-
-        return (pages_ok.select("page_url", "body", "seq")
-                .mapInPandas(run, schema="url string, file_path string, "
-                                         "body binary, is_page boolean, "
-                                         "seq bigint")
-                .withColumn("wpos", F.struct(
-                    F.lit(epoch).alias("epoch"), self._page_pos().alias("pos")))
-                .drop("seq")
-                .withColumn("epoch", F.lit(epoch)))
 
     def _asset_outputs(self, asset_fetch: DataFrame, epoch: int) -> DataFrame:
         quality = self.config.image_quality
