@@ -324,7 +324,9 @@ class Crawler:
                 self.checkpoint.commit_epoch(
                     epoch, frontier=frontier, seen_delta=commit_delta,
                     metrics={"next_seq": next_seq,
-                             "seed_host": self.seed_host},
+                             "seed_host": self.seed_host,
+                             # already counted by the loop: no extra action
+                             "frontier_rows": n_next},
                     written_delta=written_delta)
             epoch += 1
 

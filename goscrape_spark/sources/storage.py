@@ -52,11 +52,14 @@ class CrawlCheckpoint:
         if written_delta is not None:
             written_delta.write.mode("overwrite").parquet(
                 os.path.join(tmp, "written_delta"))
+        m = dict(metrics or {})
+        # callers that already counted these frames pass the numbers in the
+        # metrics dict; only recount what is missing (each count is an
+        # extra Spark action per epoch otherwise)
+        m.setdefault("frontier_rows", frontier.count())
+        m.setdefault("seen_delta_rows", seen_delta.count())
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
-            json.dump({"epoch": epoch,
-                       "frontier_rows": frontier.count(),
-                       "seen_delta_rows": seen_delta.count(),
-                       **(metrics or {})}, f)
+            json.dump({"epoch": epoch, **m}, f)
         if os.path.exists(edir):
             shutil.rmtree(edir)
         os.rename(tmp, edir)
