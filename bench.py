@@ -28,6 +28,9 @@ import sys
 import time
 
 os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# the in-process queries session holds 16 query plans + checkpoints; the
+# default 8g driver heap OOMs on the IVF expression build
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -376,7 +379,10 @@ def main() -> None:
                       shuffle_partitions=head_cores)
     try:
         qtimes = _sf_queries(spark)
-        recall = _ann_recall(spark)
+        try:
+            recall = _ann_recall(spark)
+        except Exception as e:  # recall is supplementary; never lose the run
+            recall = {"error": f"{type(e).__name__}: {e}"[:200]}
     finally:
         spark.stop()
 
@@ -415,7 +421,7 @@ def _scaling() -> dict:
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "1"))
     n_big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "4"))
     steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "50000"))
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
     factor = n_big / n_small
 
     env = dict(os.environ)
@@ -431,9 +437,11 @@ def _scaling() -> dict:
             if line.startswith("BENCH_RESULT "):
                 pairs.append(json.loads(line[len("BENCH_RESULT "):]))
                 break
-        else:
-            raise RuntimeError(f"scaling pair failed: {out.stderr[-2000:]}")
+        # a failed pair (host hiccup) is skipped, not fatal
+    if not pairs:
+        return {"error": "all scaling pairs failed"}
 
+    reps = len(pairs)
     ratios = sorted(p[str(n_big)]["urls_per_sec"] /
                     p[str(n_small)]["urls_per_sec"] for p in pairs)
     med_ratio = ratios[len(ratios) // 2]

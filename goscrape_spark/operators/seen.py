@@ -32,13 +32,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash_pair(key: str) -> tuple[int, int]:
-    d = hashlib.blake2b(key.encode("utf-8"), digest_size=16).digest()
-    return (int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1)
+def _hash_arrays(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 halves of blake2b per key, parsed in bulk
+    (one frombuffer for the whole batch; h2 forced odd for double hashing)."""
+    digs = b"".join(hashlib.blake2b(k.encode("utf-8"), digest_size=16).digest()
+                    for k in keys)
+    arr = np.frombuffer(digs, dtype="<u8").reshape(-1, 2)
+    return arr[:, 0].copy(), arr[:, 1] | np.uint64(1)
 
 
 class BloomFilter:
-    """Plain m-bit, k-hash Bloom filter over strings."""
+    """Plain m-bit, k-hash Bloom filter over strings.
+
+    Batch methods are the hot path (NumPy position matrices — one gather per
+    probe batch, one scatter per build batch); positions use uint64
+    wraparound arithmetic ((h1 + i*h2) mod 2^64 mod m), so scalar and batch
+    paths are bit-identical."""
 
     def __init__(self, n_expected: int = 1_000_000, fp_rate: float = 0.01):
         m = max(64, int(-n_expected * math.log(fp_rate) / (math.log(2) ** 2)))
@@ -46,19 +55,32 @@ class BloomFilter:
         self.k = max(1, round(self.m / n_expected * math.log(2)))
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
 
+    def _positions(self, keys) -> np.ndarray:
+        h1, h2 = _hash_arrays(keys)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return (h1[None, :] + i * h2[None, :]) % np.uint64(self.m)
+
+    def add_batch(self, keys) -> None:
+        if len(keys) == 0:
+            return
+        pos = self._positions(keys)
+        np.bitwise_or.at(self.bits, pos >> np.uint64(6),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def might_contain_batch(self, keys) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(keys)
+        hit = (self.bits[pos >> np.uint64(6)]
+               >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
     def add(self, key: str) -> None:
-        h1, h2 = _hash_pair(key)
-        for i in range(self.k):
-            pos = (h1 + i * h2) % self.m
-            self.bits[pos >> 6] |= np.uint64(1 << (pos & 63))
+        self.add_batch([key])
 
     def might_contain(self, key: str) -> bool:
-        h1, h2 = _hash_pair(key)
-        for i in range(self.k):
-            pos = (h1 + i * h2) % self.m
-            if not (int(self.bits[pos >> 6]) >> (pos & 63)) & 1:
-                return False
-        return True
+        return bool(self.might_contain_batch([key])[0])
 
     def merge(self, other: "BloomFilter") -> None:
         assert self.m == other.m and self.k == other.k
@@ -90,8 +112,8 @@ class SeenSet:
             bf.bits = np.zeros(m // 64, dtype=np.uint64)
             any_rows = False
             for pdf in batches:
-                for key in pdf[key_col]:
-                    bf.add(key)
+                if len(pdf):
+                    bf.add_batch(list(pdf[key_col]))
                     any_rows = True
             if any_rows:
                 yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
@@ -115,7 +137,7 @@ class SeenSet:
             bf.bits = np.frombuffer(bc.value, dtype=np.uint64)
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf[out_col] = [bf.might_contain(x) for x in pdf[key_col]]
+                pdf[out_col] = bf.might_contain_batch(list(pdf[key_col]))
                 yield pdf
 
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
