@@ -168,13 +168,18 @@ def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frontier_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2/O2: global frontier sequence by (depth, host, key) priority."""
+    from goscrape_spark.operators.ranking import global_sequence
+
     base = q_admission_first_wins(spark, sf_dir)
     k = _keyed(_docs(spark, sf_dir)).select("doc_id", "host")
     j = base.join(k, base["winner_doc"] == k["doc_id"], "inner") \
             .withColumn("depth", (F.col("winner_doc") % 4).cast("int"))
-    w = Window.orderBy("depth", "host", "dedup_key")
-    return j.select("dedup_key", "depth", "host",
-                    F.row_number().over(w).cast("long").alias("seq"))
+    # parts=8 forces the scalable two-pass (range shuffle + offsets) so the
+    # oracle compare exercises the SAME code path production epochs use —
+    # not the small-input plain-window fallback
+    return global_sequence(j.select("dedup_key", "depth", "host"),
+                           ["depth", "host", "dedup_key"], start=1,
+                           out_col="seq", parts=8)
 
 
 def q_per_host_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,12 +107,20 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 32,
-                      bands: int = 8, seed: int = 42) -> DataFrame:
+                      bands: int = 8, seed: int = 42,
+                      bucket_cap: int | None = None) -> DataFrame:
     """LSH candidate pairs: docs sharing any band bucket (id1 < id2).
 
     rows_per_band = num_perm // bands; candidate probability follows the
     classic (1 - (1 - j^r)^b) S-curve.  Shuffle is on (band, bucket-hash) —
-    O(docs × bands) rows, never pairwise."""
+    O(docs × bands) rows, never pairwise BETWEEN buckets; WITHIN a bucket
+    the self-join is quadratic, so a bucket of c near-identical docs emits
+    O(c²) rows.  ``bucket_cap`` bounds that: each (band, bucket) keeps only
+    its ``bucket_cap`` lowest ids (deterministic; a partitioned per-key
+    window, no global sort).  The cap drops recall for members beyond the
+    cap — callers that need an audit trail should run near_dup_minhash,
+    which removes the dominant blowup source (exact-dup clusters) LOSSLESSLY
+    before banding instead."""
     r = num_perm // bands
     sigs = minhash_signatures(df, id_col, text_col, num_perm, seed)
     banded = sigs.select(
@@ -124,6 +132,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                 F.concat_ws(",", F.transform(
                     F.slice(F.col("sig"), bidx * r + 1, r),
                     lambda x: x.cast("string"))))))).alias("band", "bucket"))
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        banded = (banded.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= bucket_cap).drop("_rn"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -136,13 +148,28 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 def near_dup_minhash(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", num_perm: int = 32,
                      bands: int = 8, threshold: float = 0.6,
-                     seed: int = 42) -> DataFrame:
-    """The full scale pipeline: LSH candidates -> exact Jaccard verify.
-    The verify join touches only candidate ids (broadcast when small)."""
-    cands = minhash_lsh_pairs(df, id_col, text_col, num_perm, bands, seed)
+                     seed: int = 42, collapse_exact: bool = True,
+                     bucket_cap: int | None = None) -> DataFrame:
+    """The full scale pipeline: exact-dup collapse -> LSH candidates ->
+    exact Jaccard verify.  The verify join touches only candidate ids.
+
+    ``collapse_exact`` (default on) first collapses byte-identical texts to
+    their lowest-id representative.  A cluster of c identical docs lands in
+    the SAME bucket in EVERY band and would emit O(c²) candidate rows per
+    band — and boilerplate dup clusters are the norm in web corpora, so this
+    is the hot-bucket failure mode at 100 TB.  The collapse is lossless for
+    near-dup semantics: identical texts have identical shingle sets, so
+    jaccard(member, x) == jaccard(rep, x); exact-dup group membership itself
+    is ``exact_dedup``'s (one cheap hash-agg) job.  Returned pairs relate
+    distinct texts only.  ``bucket_cap`` additionally bounds residual hot
+    buckets (e.g. templated pages that agree on every band row)."""
+    src = (exact_dedup_keep_first(df, id_col, text_col)
+           if collapse_exact else df)
+    cands = minhash_lsh_pairs(src, id_col, text_col, num_perm, bands, seed,
+                              bucket_cap=bucket_cap)
     ids = (cands.select(F.col("id1").alias("id"))
            .union(cands.select("id2")).distinct())
-    subset = df.join(ids, df[id_col] == ids["id"], "leftsemi")
+    subset = src.join(ids, src[id_col] == ids["id"], "leftsemi")
     verified = ngram_jaccard_pairs(subset, id_col, text_col,
                                    threshold=threshold)
     return (cands.join(verified, ["id1", "id2"], "inner")
@@ -153,57 +180,82 @@ def near_dup_minhash(df: DataFrame, id_col: str = "doc_id",
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Dense count-matrix bound for the matmul accumulation path: the bincount
+# materializes an (n_docs x n_unique) int64 transient, so gate on the CELL
+# PRODUCT, not the vocab alone (4096-vocab x 10k-row Arrow batch was a
+# ~330 MB allocation per worker — an executor-OOM the reduceat path avoids).
+# 2^23 cells = 64 MB int64 per batch per worker.
+_SIMHASH_DENSE_CELLS = 1 << 23
+
+
+def _simhash_batch(ws_seq, dense_cells_limit: int = _SIMHASH_DENSE_CELLS):
+    """SimHash one Arrow batch of token lists -> uint64 signature array.
+
+    Hashes each UNIQUE token once (md5 -> first 8 bytes, big-endian —
+    portable, DuckDB-mirrorable for the driver oracle), unpacks into a
+    (uniq, 64) sign matrix, and accumulates per-document bit sums either by
+    counts-matmul (small n*u product) or by sorted-segment reduceat (large
+    vocab).  Both paths are bit-identical; no per-element Python beyond the
+    unique-token md5 loop, which is sublinear in batch token volume."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n = len(ws_seq)
+    lens = np.fromiter((0 if t is None else len(t) for t in ws_seq),
+                       dtype=np.int64, count=n)
+    flat = [x for t in ws_seq if t is not None for x in t]
+    if flat:
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        u = len(uniq)
+        digests = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8]
+                     for t in uniq), dtype=np.uint8)
+        bits = np.unpackbits(digests).reshape(u, 64)
+        if n * u <= dense_cells_limit:
+            # small product: per-doc token counts x bit matrix (matmul)
+            doc_ix = np.repeat(np.arange(n), lens)
+            counts = np.bincount(doc_ix * u + codes,
+                                 minlength=n * u).reshape(n, u)
+            ones = counts @ bits.astype(np.int64)
+        else:
+            # large vocab: contiguous per-doc segment reduce.  reduceat runs
+            # over NON-EMPTY docs only: a trailing zero-token doc would make
+            # its cumsum bound == len(codes) (reduceat raises index
+            # out-of-bounds), and merely clipping that bound would corrupt
+            # the PREVIOUS doc's segment end — dropping empty docs keeps
+            # every remaining bound a true segment start.
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nz = lens > 0
+            ones = np.zeros((n, 64), dtype=np.int64)
+            ones[nz] = np.add.reduceat(
+                bits[codes].astype(np.int32), starts[nz], axis=0)
+        acc = 2 * ones - lens[:, None]   # sum over tokens of +-1
+        acc[lens == 0] = 0
+    else:
+        acc = np.zeros((n, 64), dtype=np.int64)
+    # bit k of the signature = sign of bit-k sum; np.unpackbits is
+    # MSB-first, so matrix column j maps to signature bit 63-j
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return ((acc > 0).astype(np.uint64) * weights).sum(
+        axis=1, dtype=np.uint64)
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word hashes, NumPy-vectorized inside Arrow
-    batches: each batch hashes its UNIQUE tokens once (md5 -> first 8 bytes,
-    big-endian — portable, DuckDB-mirrorable for the driver oracle), unpacks
-    them into a (uniq, 64) sign matrix, and accumulates per-document sums
-    with one scatter-add.  No per-element Python beyond the unique-token md5
-    loop, which is sublinear in batch token volume."""
+    batches (see _simhash_batch for the two accumulation paths)."""
     tokens = df.select(F.col(id_col).alias("id"),
                        words(F.col(text_col)).alias("ws"))
 
     def run(batches):
-        import hashlib
-
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            n = len(pdf)
-            lens = np.fromiter(
-                (0 if t is None else len(t) for t in pdf["ws"]),
-                dtype=np.int64, count=n)
-            flat = [x for t in pdf["ws"] if t is not None for x in t]
-            if flat:
-                codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
-                u = len(uniq)
-                digests = np.frombuffer(
-                    b"".join(hashlib.md5(t.encode()).digest()[:8]
-                             for t in uniq), dtype=np.uint8)
-                bits = np.unpackbits(digests).reshape(u, 64)
-                if u <= 4096:
-                    # small vocab: per-doc token counts x bit matrix (matmul)
-                    doc_ix = np.repeat(np.arange(n), lens)
-                    counts = np.bincount(doc_ix * u + codes,
-                                         minlength=n * u).reshape(n, u)
-                    ones = counts @ bits.astype(np.int64)
-                else:
-                    # large vocab: contiguous per-doc segment reduce
-                    bounds = np.zeros(n, dtype=np.int64)
-                    np.cumsum(lens[:-1], out=bounds[1:])
-                    ones = np.add.reduceat(
-                        bits[codes].astype(np.int32), bounds, axis=0)
-                acc = 2 * ones - lens[:, None]   # sum over tokens of +-1
-                acc[lens == 0] = 0
-            else:
-                acc = np.zeros((n, 64), dtype=np.int64)
-            # bit k of the signature = sign of bit-k sum; np.unpackbits is
-            # MSB-first, so matrix column j maps to signature bit 63-j
-            weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
-            out = ((acc > 0).astype(np.uint64) * weights).sum(
-                axis=1, dtype=np.uint64)
+            out = _simhash_batch(pdf["ws"])
             yield pd.DataFrame({"id": pdf["id"],
                                 "simhash": out.view(np.int64)})
 

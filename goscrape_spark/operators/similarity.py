@@ -18,6 +18,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,28 +184,53 @@ def fixed_centroids(n_cells: int, dim: int, seed: int = 42) -> list[list[float]]
     return [_hyperplane(seed * 1_000_003 + 17, c, dim) for c in range(n_cells)]
 
 
-def _cell_assign(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmax-cosine cell id as pure column expressions."""
-    best_id = F.lit(0)
-    best_sim = F.lit(-2.0)
-    vnorm = _norm(vec)
-    for cid, cent in enumerate(centroids):
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        sim = _dot(vec, c) / (vnorm * F.lit(
-            sum(x * x for x in cent) ** 0.5 or 1.0))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(cid)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_id
-
-
 def ivf_index(df: DataFrame, centroids: list[list[float]],
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid cell.  At scale, write
-    this partitioned by ``cell`` so a probe reads only its cells' files
-    (partition pruning)."""
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn("cell", _cell_assign(vec, centroids))
+    """Assign each vector to its nearest centroid cell (argmax cosine,
+    ties -> the LOWEST cell id; null/zero/ragged vectors -> cell 0).
+
+    The assignment is a BROADCAST (n_cells, dim) row-normalized centroid
+    matrix + one batched matmul-argmax inside an Arrow pandas_udf —
+    O(batch × n_cells × dim) FLOPs and O(n_cells × dim) memory once per
+    executor.  A previous version built the argmax as an O(n_cells × dim)
+    nested-``when`` Catalyst literal tree; at 16 cells × 64 dims it blew an
+    8g driver heap during plan/codegen, and at a realistic 4096 × 768 it is
+    a driver-killer — the expression size must never scale with the index.
+    Cosine argmax is scale-invariant in the query vector, so only the
+    centroids are normalized (dot against unit centroids ≡ cosine ranking).
+
+    At scale, write the result partitioned by ``cell`` so a probe reads
+    only its cells' files (partition pruning)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0          # zero-norm centroid guard (matches the
+    Cn = C / cn[:, None]       # old literal expression's `or 1.0`)
+    n_cells, dim = Cn.shape
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        cents = bc.value
+        arrs = vecs.to_numpy()
+        bad = np.fromiter(
+            (v is None or len(v) != dim for v in arrs),
+            dtype=bool, count=len(arrs))
+        if bad.any():
+            arrs = arrs.copy()
+            zero = np.zeros(dim)
+            for i in np.flatnonzero(bad):   # bad rows are the rare exception
+                arrs[i] = zero
+        if len(arrs) == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        M = np.vstack(arrs).astype(np.float64, copy=False)
+        # argmax of dot-vs-unit-centroids == argmax cosine (row scaling
+        # cannot change a row's argmax); np.argmax takes the FIRST max,
+        # i.e. the lowest cell id on ties
+        cell = (M @ cents.T).argmax(axis=1).astype(np.int32)
+        cell[bad] = 0
+        return pd.Series(cell)
+
+    return df.withColumn("cell", assign(F.col(vec_col)))
 
 
 def ivf_topk(indexed: DataFrame, centroids: list[list[float]],

@@ -37,7 +37,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import CrawlConfig
@@ -244,9 +244,16 @@ class Crawler:
 
             # record fetches: the page fetches of this epoch + admitted assets
             if cfg.politeness_delay_ms > 0:
-                page_not_before = (F.row_number().over(
-                    Window.orderBy("seq")) - 1).cast("long") \
-                    * F.lit(cfg.politeness_delay_ms)
+                # epoch seqs are dense [epoch_base, epoch_base + n): W2's
+                # global_sequence assigned start=next_seq-n_frontier..-1, so
+                # the politeness offset is pure column arithmetic — no
+                # window, no shuffle.  (Was row_number() OVER (ORDER BY seq):
+                # a single-task sort of the whole epoch whenever
+                # politeness_delay_ms > 0 — the exact W2 scale-killer shape.)
+                epoch_base = next_seq - n_frontier
+                page_not_before = ((F.col("seq") - F.lit(epoch_base))
+                                   .cast("long")
+                                   * F.lit(cfg.politeness_delay_ms))
             else:
                 page_not_before = F.lit(0).cast("long")
             page_log = fetched.select(
