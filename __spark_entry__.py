@@ -519,7 +519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_math": q_rewrite_math,
         "file_path_math": q_file_path_math,
         "crawl_fixture": q_crawl_fixture,
-        # rows-only check (blake2b feature chain is not SQL-expressible)
+        # golden-VALUES oracle: the blake2b feature chain is deterministic
+        # but not SQL-expressible, so expected rows are precomputed
+        # driver-side (_media_features_sql)
         "media_features": q_media_features,
     }
 
@@ -684,6 +686,48 @@ def _golden_values_sql(rows: list[tuple], cols: str) -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t({cols})"
 
 
+def _media_features_sql() -> str:
+    """Golden-VALUES oracle for q_media_features.
+
+    The fake decode chain is fully deterministic (blake2b hash chain,
+    multimodal._fake_feature) but blake2b is not expressible in DuckDB SQL —
+    so the expected rows are computed driver-side in plain Python over the
+    SAME parquet the driver's sf0.01 compare reads, and shipped as a VALUES
+    table exactly like rewrite_math's golden oracle.  kind comes from the
+    F11 magic-byte sniffer's Python mirror (pytest-proven equal to the
+    column expression), and the feature digest replays Spark's
+    format_number(float32, 4) rendering (all features are exact 4-decimal
+    rationals k/10000, so the float32 round-trip is rendering-stable)."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from goscrape_spark.functions.filetype import sniff_extension
+    from goscrape_spark.operators.multimodal import _fake_feature
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    image = {"jpg", "png", "gif", "webp", "bmp", "tif", "ico", "psd"}
+    audio = {"mp3", "ogg", "wav", "flac", "mid", "amr", "aiff"}
+    video = {"mp4", "webm", "avi", "flv", "mpg", "wmv"}
+    rows = []
+    for did, text in zip(t.column("doc_id").to_pylist(),
+                         t.column("text").to_pylist()):
+        raw = (text or "").encode("utf-8")
+        ext = sniff_extension(raw)
+        kind = ("image" if ext in image else "audio" if ext in audio
+                else "video" if ext in video else "binary")
+        feat = _fake_feature(raw, 8)
+        s = ",".join(f"{float(np.float32(v)):.4f}" for v in feat)
+        rows.append((f"doc://{did}", kind, len(raw),
+                     hashlib.md5(s.encode()).hexdigest(), "fake"))
+    return _golden_values_sql(
+        rows, "media_id, kind, n_bytes, feature_md5, decode_status")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = {lang: (f"len(list_filter(ws, w -> list_contains("
                         f"{_sql_list(ws)}, w)))")
@@ -832,6 +876,8 @@ def oracle_sql() -> dict[str, str]:
 
         "crawl_fixture": _golden_values_sql(
             [("/",), ("/page2",), ("/sub",), ("/style.css",)], "dedup_key"),
+
+        "media_features": _media_features_sql(),
 
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
