@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--header", action="append", default=[],
                    help='extra header "Key:Value" (repeatable)')
     p.add_argument("--cookies", default="", help="cookie JSON file")
+    p.add_argument("--savecookiefile", default="",
+                   help="save the session cookie jar to this JSON file "
+                        "after the crawl (main.go:183,231-246)")
     p.add_argument("--user", default="", help="user[:password] for basic auth")
     p.add_argument("--useragent", default="", help="User-Agent string")
     p.add_argument("--timeout", type=int, default=0, help="request timeout sec")
@@ -114,6 +117,22 @@ def run(argv: list[str], spark=None) -> int:
             res = crawl(spark, cfg, pages, checkpoint=ckpt,
                         resume=args.resume, live=live)
             n = export_output_tree(res.output, args.output or ".")
+            if args.savecookiefile:
+                # S4 save-back (main.go:183,231-246): persist the seed
+                # host's live jar — config cookies plus absorbed
+                # Set-Cookie state; a no-op on an empty jar like saveCookies
+                from datetime import datetime, timezone
+
+                from .functions.cookies import Cookie, save_cookies
+                seed_host = res.seed_host.partition(":")[0]
+                jar = [Cookie(
+                        name=d["name"], value=d["value"],
+                        expires=(datetime.fromtimestamp(
+                            d["expires"], timezone.utc)
+                            if d.get("expires") else None))
+                       for d in res.cookies if d["domain"] == seed_host]
+                if jar:
+                    save_cookies(args.savecookiefile, jar)
             print(f"{url}: {res.epochs} epochs, "
                   f"{res.seen.count()} URLs seen, {n} files written")
     finally:

@@ -75,6 +75,11 @@ class CrawlResult:
     output: DataFrame        # url, file_path, kind, is_page, epoch
     epochs: int = 0
     seed_host: str = ""
+    # final session cookie jar (S4): configured cookies + every Set-Cookie
+    # absorbed during the crawl, as portable dicts {name, value, domain,
+    # path, expires(epoch|None)} — the analogue of Scraper.Cookies()
+    # (scraper/cookies.go:20-37); persisted by the CLI's --savecookiefile
+    cookies: list = field(default_factory=list)
 
     def seen_set(self) -> set[str]:
         return {r.dedup_key for r in self.seen.select("dedup_key").collect()}
@@ -114,6 +119,14 @@ class Crawler:
             self.robots = robots_rules_df(spark, config.robots_rules)
         self.checkpoint = checkpoint
         self.max_epochs = max_epochs
+        # S4: session cookie jar state, keyed (domain, path, name); starts
+        # from the configured cookies and absorbs live Set-Cookie snapshots
+        # per fetch round (the reference's shared cookiejar.Jar,
+        # scraper/scraper.go:106-118)
+        from ..sources.fetch import config_cookie_dicts
+        self._session_cookies: dict[tuple, dict] = {
+            (d["domain"], d["path"], d["name"]): d
+            for d in config_cookie_dicts(config)}
 
         u = parse_url(config.url)
         u = GoURL(scheme=u.scheme or "http", host=u.host, path=u.path,
@@ -367,7 +380,15 @@ class Crawler:
                .select("_r.url", "file_path", "_r.body", "_r.is_page",
                        "_r.epoch"))
         return CrawlResult(seen=seen, fetch_log=fetch_log, documents=docs,
-                           output=out, epochs=epoch, seed_host=self.seed_host)
+                           output=out, epochs=epoch, seed_host=self.seed_host,
+                           cookies=self._final_cookies())
+
+    def _final_cookies(self) -> list[dict]:
+        """Live (non-expired) session cookies, like Scraper.Cookies()
+        filtering through the jar (scraper/cookies.go:20-37)."""
+        now = time.time()
+        return [dict(d) for d in self._session_cookies.values()
+                if d.get("expires") is None or d["expires"] > now]
 
     # ------------------------------------------------------------------
     def _seed_admitted(self) -> bool:
@@ -410,8 +431,25 @@ class Crawler:
         Live mode: per-host applyInPandas HTTP batches (sources/fetch.py)
         with the same schema and real inline backoff + politeness sleeps."""
         if self.live:
+            import json as _json
+
             from ..sources.fetch import http_fetch_df
-            return http_fetch_df(urls, self.config)
+            fetched = http_fetch_df(
+                urls, self.config,
+                session_cookies=list(self._session_cookies.values()))
+            # absorb the batches' final jar snapshots so cookies set in this
+            # round (e.g. a login page's session id) are presented in later
+            # rounds/epochs, like the reference's shared jar.  The harvest
+            # is a tiny collect over one snapshot row per host batch; the
+            # checkpoint would happen downstream anyway and keeps the fetch
+            # from re-executing per consumer.
+            fetched = fetched.localCheckpoint(eager=True)
+            for r in fetched.select(
+                    F.explode("set_cookies").alias("c")).collect():
+                d = _json.loads(r.c)
+                self._session_cookies[
+                    (d["domain"], d["path"], d["name"])] = d
+            return fetched.drop("set_cookies")
         maxr = self.config.max_retries
         joined = urls.select("url").join(self.pages, on="url", how="left")
         return joined.select(

@@ -33,11 +33,54 @@ from ..functions.urlnorm import col_host
 
 FETCHED_SCHEMA = ("url string, body binary, resp_url string, status string, "
                   "attempts int")
+# live fetch additionally surfaces the batch's final cookie-jar snapshot so
+# the driver can accumulate Set-Cookie state across epochs (S4)
+FETCHED_LIVE_SCHEMA = FETCHED_SCHEMA + ", set_cookies array<string>"
+
+
+def _jar_cookie(d: dict):
+    """A host-only http.cookiejar.Cookie from the portable dict form
+    {name, value, domain, path, expires(epoch|None)} — the same matching
+    semantics as the reference's cookiejar.Jar.SetCookies with no Domain
+    attribute (scraper/cookies.go:39-59)."""
+    import http.cookiejar
+
+    return http.cookiejar.Cookie(
+        version=0, name=d["name"], value=d["value"], port=None,
+        port_specified=False, domain=d.get("domain", ""),
+        domain_specified=False, domain_initial_dot=False,
+        path=d.get("path", "/"), path_specified=False, secure=False,
+        expires=d.get("expires"), discard=d.get("expires") is None,
+        comment=None, comment_url=None, rest={})
+
+
+def config_cookie_dicts(config: CrawlConfig) -> list[dict]:
+    """The configured jar in portable dict form, bound to the start URL's
+    host like the reference's jar.SetCookies(u, cookies)
+    (scraper/cookies.go:39-59, scraper/scraper.go:106-109)."""
+    from ..functions.urlnorm import parse_url
+
+    host = (parse_url(config.url).host or "").partition(":")[0]
+    out = []
+    for c in config.cookies:
+        exp = int(c.expires.timestamp()) if c.expires is not None else None
+        out.append({"name": c.name, "value": c.value, "domain": host,
+                    "path": "/", "expires": exp})
+    return out
 
 
 def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
-                  url_col: str = "url") -> DataFrame:
-    """Fetch every frontier URL over real HTTP, one batch per host."""
+                  url_col: str = "url",
+                  session_cookies: list[dict] | None = None) -> DataFrame:
+    """Fetch every frontier URL over real HTTP, one batch per host.
+
+    Cookies ride a REAL per-batch http.cookiejar: the batch's jar starts
+    from the configured cookies (+ ``session_cookies`` accumulated by the
+    crawl loop from earlier epochs' Set-Cookie responses), absorbs
+    Set-Cookie mid-batch exactly like the reference's shared
+    cookiejar.Jar on the http.Client (scraper/scraper.go:106-118), and
+    snapshots its final state into the ``set_cookies`` column so the driver
+    can carry the session forward and persist it (main.go:183,231-246)."""
     max_retries = config.max_retries
     retry_delay = config.retry_delay_ms / 1000.0
     politeness = config.politeness_delay_ms / 1000.0
@@ -50,34 +93,37 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
         cred = f"{config.username}:{config.password}"
         headers["Authorization"] = "Basic " + base64.b64encode(
             cred.encode()).decode()
-    if config.cookies:
-        # S4: cookie jar -> Cookie header (scraper/scraper.go:106-109,
-        # scraper/cookies.go:39-59); expiry evaluated at session start like
-        # the reference's jar.SetCookies at client construction
-        from datetime import datetime, timezone
-
-        from ..functions.cookies import cookie_header_value
-        val = cookie_header_value(config.cookies,
-                                  now=datetime.now(timezone.utc))
-        if val:
-            headers["Cookie"] = val
+    # S4: base jar state; session_cookies (keyed by domain/path/name) win
+    # over the static config jar — they are the crawl's newer state
+    base_cookies: dict[tuple, dict] = {
+        (d["domain"], d.get("path", "/"), d["name"]): d
+        for d in config_cookie_dicts(config)}
+    for d in (session_cookies or []):
+        base_cookies[(d["domain"], d.get("path", "/"), d["name"])] = d
+    base_list = list(base_cookies.values())
 
     src = frontier.select(F.col(url_col).alias("url")) \
                   .withColumn("host", col_host(F.col("url")))
 
     def fetch_host(key, pdf):
+        import http.cookiejar
+        import json as _json
         import urllib.error
         import urllib.request
 
         import pandas as pd
 
+        jar = http.cookiejar.CookieJar()
+        for d in base_list:
+            jar.set_cookie(_jar_cookie(d))
         # S5: proxy transport (scraper/scraper.go:111-115) — one opener per
-        # host batch, routing both schemes through the configured proxy
+        # host batch, routing both schemes through the configured proxy;
+        # the cookie processor presents + absorbs per standard jar matching
+        handlers = [urllib.request.HTTPCookieProcessor(jar)]
         if proxy:
-            opener = urllib.request.build_opener(
+            handlers.append(
                 urllib.request.ProxyHandler({"http": proxy, "https": proxy}))
-        else:
-            opener = urllib.request.build_opener()
+        opener = urllib.request.build_opener(*handlers)
 
         rows = {"url": [], "body": [], "resp_url": [], "status": [],
                 "attempts": []}
@@ -117,6 +163,22 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
             rows["resp_url"].append(resp_url)
             rows["status"].append(status)
             rows["attempts"].append(attempts)
+
+        # final jar snapshot on the batch's first row (None elsewhere): live
+        # cookies, plus expiry tombstones for base cookies the server
+        # deleted so the driver's merge forgets them too
+        snap = {(c.domain, c.path, c.name): {
+                    "name": c.name, "value": c.value, "domain": c.domain,
+                    "path": c.path, "expires": c.expires}
+                for c in jar}
+        for k, d in base_cookies.items():
+            if k not in snap:
+                snap[k] = dict(d, expires=0)
+        rows["set_cookies"] = [None] * len(rows["url"])
+        if rows["set_cookies"]:
+            rows["set_cookies"][0] = [_json.dumps(d, sort_keys=True)
+                                      for d in snap.values()]
         return pd.DataFrame(rows)
 
-    return src.groupBy("host").applyInPandas(fetch_host, schema=FETCHED_SCHEMA)
+    return src.groupBy("host").applyInPandas(fetch_host,
+                                             schema=FETCHED_LIVE_SCHEMA)
