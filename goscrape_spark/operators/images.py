@@ -2,15 +2,17 @@
 
 Port of ``checkImageForRecode``/``recodeJPEG``/``recodePNG``
 (scraper/images.go:17-99): recoding runs only when 1 <= quality <= 99
-(scraper/scraper.go:132-135 clamps everything else to 0 = disabled) and the
-recoded bytes replace the original only when strictly smaller
-("keep the old file if it is smaller", images.go:62-79).
+(scraper/scraper.go:132-135 clamps everything else to 0 = disabled), a
+decode error keeps the original bytes (images.go:66-68 returns nil -> keep
+data), and the recoded bytes replace the original only when strictly
+smaller ("only use the new file if it is smaller", images.go:70-79).
 
-Pillow is not installed in this container, so the decode step is gated behind
-an import-try: without PIL the operator is a deterministic passthrough (the
-same behavior as quality=0) and ``PIL_AVAILABLE`` is False — the Spark-side
-plumbing (Arrow batch shape, magic-byte routing, smaller-wins compare) is
-real and tested either way.
+Codec: Pillow when importable (the production tier), else the vendored
+pure-NumPy codec (functions/imagecodec.py — PNG + baseline JPEG, built
+from the public T.81/RFC-2083 specs) so the recode logic executes against
+real bytes even in this Pillow-less sandbox.  Progressive JPEG / exotic
+PNG variants decode to None under the vendored tier and pass through,
+exactly the reference's decode-error behavior.
 """
 
 from __future__ import annotations
@@ -30,25 +32,41 @@ except ImportError:
     PIL_AVAILABLE = False
 
 
-def recode_image_bytes(data: bytes, quality: int) -> bytes:
-    """Recode one image; returns the smaller of original/recoded
-    (scraper/images.go:62-79).  Passthrough when PIL is unavailable or the
-    payload is not JPEG/PNG."""
-    if quality < 1 or quality > 99:
-        return data
-    ext = sniff_extension(data)
-    if ext not in ("jpg", "png"):
-        return data
-    if not PIL_AVAILABLE:
-        return data
+def _recode_pil(data: bytes, quality: int) -> bytes | None:
     from PIL import Image as _Image
 
     try:
         img = _Image.open(io.BytesIO(data))
         buf = io.BytesIO()
         img.convert("RGB").save(buf, format="JPEG", quality=quality)
-        recoded = buf.getvalue()
+        return buf.getvalue()
     except Exception:
+        return None
+
+
+def _recode_vendored(data: bytes, quality: int, ext: str) -> bytes | None:
+    from ..functions.imagecodec import jpeg_decode, jpeg_encode, png_decode
+
+    arr = png_decode(data) if ext == "png" else jpeg_decode(data)
+    if arr is None:
+        return None
+    return jpeg_encode(arr, quality)
+
+
+def recode_image_bytes(data: bytes, quality: int) -> bytes:
+    """Recode one image; returns the smaller of original/recoded
+    (scraper/images.go:62-79).  Non-JPEG/PNG payloads and decode failures
+    pass through unchanged."""
+    if quality < 1 or quality > 99:
+        return data
+    ext = sniff_extension(data)
+    if ext not in ("jpg", "png"):
+        return data
+    if PIL_AVAILABLE:
+        recoded = _recode_pil(data, quality)
+    else:
+        recoded = _recode_vendored(data, quality, ext)
+    if recoded is None:
         return data
     return recoded if len(recoded) < len(data) else data
 

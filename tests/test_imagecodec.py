@@ -1,0 +1,166 @@
+"""Vendored image codec (C19 backing): PNG/JPEG round-trips and the
+reference's recode-if-smaller decision logic against real bytes."""
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from goscrape_spark.functions.imagecodec import (
+    jpeg_decode,
+    jpeg_encode,
+    png_decode,
+    png_encode,
+)
+from goscrape_spark.operators.images import recode_image_bytes
+
+
+def _test_image(h=56, w=72, seed=0):
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 3) % 256, (y * 4) % 256, ((x + y) * 2) % 256],
+                   axis=2)
+    return np.clip(img + rng.randint(-8, 8, img.shape), 0,
+                   255).astype(np.uint8)
+
+
+def test_png_roundtrip_bit_exact():
+    img = _test_image()
+    assert (png_decode(png_encode(img)) == img).all()
+
+
+def test_png_all_filters_decode():
+    """Hand-filter four scanlines with filter types 1-4 (Sub/Up/Average/
+    Paeth per RFC 2083 §6) and check the decoder reconstructs them."""
+    img = _test_image(h=4, w=9, seed=3)
+    ch, stride = 3, 9 * 3
+    rows = [img[y].reshape(-1).astype(int) for y in range(4)]
+    raw = bytearray()
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    prev = [0] * stride
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        cur = rows[y]
+        filt = []
+        for i in range(stride):
+            left = cur[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            pred = {1: left, 2: up, 3: (left + up) >> 1,
+                    4: paeth(left, up, ul)}[ftype]
+            filt.append((cur[i] - pred) & 0xFF)
+        raw.append(ftype)
+        raw.extend(filt)
+        prev = list(cur)
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n" +
+           chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 4, 8, 2, 0, 0, 0)) +
+           chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    assert (png_decode(png) == img).all()
+
+
+def test_png_rgba_premultiplies_like_go():
+    """Alpha composites onto black — what Go's image/jpeg sees through
+    NRGBA.RGBA() in the reference's recodePNG path."""
+    px = np.array([[[200, 100, 50, 255], [200, 100, 50, 128],
+                    [200, 100, 50, 0]]], dtype=np.uint8)
+    h, w = 1, 3
+    raw = b"\x00" + px.tobytes()
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n" +
+           chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)) +
+           chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    got = png_decode(png)
+    assert (got[0, 0] == [200, 100, 50]).all()
+    assert (got[0, 2] == [0, 0, 0]).all()
+    assert abs(int(got[0, 1, 0]) - 200 * 128 // 255) <= 1
+
+
+def test_jpeg_roundtrip_quality():
+    img = _test_image()
+    sizes = []
+    for q in (30, 75, 90):
+        jp = jpeg_encode(img, q)
+        assert jp.startswith(b"\xff\xd8") and jp.endswith(b"\xff\xd9")
+        dec = jpeg_decode(jp)
+        assert dec is not None and dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int)).mean()
+        assert err < 20, (q, err)
+        sizes.append(len(jp))
+    assert sizes[0] < sizes[2]   # lower quality -> smaller file
+
+
+def test_jpeg_decode_rejects_garbage():
+    assert jpeg_decode(b"\xff\xd8garbage") is None
+    assert jpeg_decode(b"not a jpeg") is None
+    # progressive (SOF2) must be declined, not mis-decoded
+    img = _test_image(16, 16)
+    jp = bytearray(jpeg_encode(img, 75))
+    jp[jp.index(b"\xff\xc0") + 1] = 0xC2
+    assert jpeg_decode(bytes(jp)) is None
+
+
+@pytest.mark.parametrize("path", [
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
+    "test/test_email/data/python.jpg",
+])
+def test_jpeg_decode_external_baseline(path):
+    """A JPEG produced by a real encoder (subsampled) decodes."""
+    if not os.path.exists(path):
+        pytest.skip("external fixture not on this host")
+    dec = jpeg_decode(open(path, "rb").read())
+    assert dec is not None and dec.shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# the reference's decision logic (images.go:17-99) against real bytes
+# ---------------------------------------------------------------------------
+
+
+def test_recode_png_to_smaller_jpeg():
+    img = _test_image(80, 120, seed=1)
+    png = png_encode(img)
+    out = recode_image_bytes(png, 40)
+    assert out.startswith(b"\xff\xd8")        # became a JPEG
+    assert len(out) < len(png)                # ...because it was smaller
+    dec = jpeg_decode(out)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 20
+
+
+def test_recode_keeps_original_when_not_smaller():
+    # a tiny image: JPEG header overhead dominates, recode comes out larger
+    img = np.full((2, 2, 3), 128, dtype=np.uint8)
+    png = png_encode(img)
+    assert recode_image_bytes(png, 90) == png
+
+
+def test_recode_passthrough_cases():
+    img = _test_image(16, 16)
+    png = png_encode(img)
+    assert recode_image_bytes(png, 0) == png       # quality 0 = disabled
+    assert recode_image_bytes(png, 100) == png     # out-of-range = disabled
+    assert recode_image_bytes(b"GIF89a...", 50) == b"GIF89a..."
+    truncated = png[:40]                           # decode error -> keep
+    assert recode_image_bytes(truncated, 50) == truncated
+
+
+def test_recode_jpeg_to_jpeg_lower_quality():
+    img = _test_image(64, 96, seed=2)
+    hi = jpeg_encode(img, 95)
+    out = recode_image_bytes(hi, 30)
+    assert len(out) < len(hi)
+    assert jpeg_decode(out) is not None
