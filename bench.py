@@ -8,14 +8,18 @@ Prints ONE JSON line:
 Components:
 * crawl        — the flagship epoch-synchronous crawl over a deterministic
                  synthetic mock web (seed 42); headline throughput =
-                 URLs (discovered + fetch-scheduled) per second.
+                 URLs (discovered + fetch-scheduled) per second; pinned
+                 cores, min of SPARK_GRAFT_CRAWL_REPS runs, raw samples
+                 emitted, driver-side job counts per epoch.
+* epoch_scale  — the same crawl at a small page count: measures whether
+                 the per-epoch orchestration jobs amortize with epoch size.
 * sf queries   — training-data + crawl-column operators over
                  $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
 * ann_recall   — recall@10 vs exact scan for the LSH and IVF ANN tiers.
-* scaling      — north_rule N -> 4N evidence: the steady-state epoch
-                 pipeline at two worker counts, interleaved median-of-N
-                 (see _scaling docstring for the level choice and why).
-                 Enabled by default; disable with SPARK_GRAFT_SCALING=0.
+* scaling      — north_rule N -> 4N evidence at TWO bracketing level pairs
+                 (1->4 and 4->16 worker cores), CPU-pinned warm-JVM pair
+                 protocol (see _scaling docstring).  Enabled by default;
+                 disable with SPARK_GRAFT_SCALING=0.
 
 Run: python bench.py
 """
@@ -43,7 +47,7 @@ CRAWL_PAGES = int(os.environ.get("SPARK_GRAFT_CRAWL_PAGES", "100000"))
 STEADY_FILLER = int(os.environ.get("SPARK_GRAFT_STEADY_FILLER", "160"))
 
 
-def _crawl_once(spark, n_pages: int) -> dict:
+def _crawl_once(spark, n_pages: int, job_group: str | None = None) -> dict:
     from goscrape_spark.config import CrawlConfig
     from goscrape_spark.plans.crawl import crawl
     from goscrape_spark.sources.synth import seed_url, synthetic_site
@@ -51,6 +55,9 @@ def _crawl_once(spark, n_pages: int) -> dict:
     pages = synthetic_site(spark, n_pages=n_pages, fanout=16,
                            n_assets=max(100, n_pages // 20),
                            n_ext_hosts=8).localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    if job_group:
+        sc.setJobGroup(job_group, "bench crawl", False)
     t0 = time.time()
     res = crawl(spark, CrawlConfig(url=seed_url()), pages)
     n_fetches = res.fetch_log.count()
@@ -59,21 +66,43 @@ def _crawl_once(spark, n_pages: int) -> dict:
     # stage (★ C4-C18) and must count toward throughput
     res.output.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
-    return {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
-            "epochs": res.epochs,
-            "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}
+    out = {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
+           "epochs": res.epochs,
+           "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}
+    if job_group:
+        # driver-side job accounting: how much per-epoch orchestration
+        # overhead the loop pays (the fileExists-amortization evidence)
+        jobs = len(sc.statusTracker().getJobIdsForGroup(job_group))
+        sc.setJobGroup("", "", False)
+        out["jobs"] = jobs
+        out["jobs_per_epoch"] = round(jobs / max(res.epochs, 1), 1)
+    return out
 
 
 def _crawl_worker(master: str, n_pages: int, shuffle_parts: int) -> None:
-    """Subprocess body: warmup crawl (JIT + worker pools), then timed run."""
+    """Subprocess body: warmup crawl (JIT + worker pools), then timed runs.
+
+    The process tree is PINNED to the worker-core count (same rationale as
+    the scaling protocol: unpinned JVM/Arrow helper threads overflow onto
+    idle host cores and make the number irreproducible) and the reported
+    figure is the MIN of SPARK_GRAFT_CRAWL_REPS full crawls — min discards
+    this host's episodic co-tenant stalls; raw samples are all emitted."""
     from goscrape_spark.session import get_spark
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_CRAWL_REPS", "2")))
+    cores = int(master.split("[")[1].rstrip("]"))
     spark = get_spark(f"bench-crawl-{master}", master=master,
                       shuffle_partitions=shuffle_parts)
     try:
         spark.sparkContext.setLogLevel("ERROR")
         _crawl_once(spark, 2000)  # warmup
-        print("BENCH_RESULT " + json.dumps(_crawl_once(spark, n_pages)))
+        _set_tree_affinity(cores)
+        runs = [_crawl_once(spark, n_pages, job_group=f"crawl-{i}")
+                for i in range(reps)]
+        _set_tree_affinity(CPUS)
+        best = min(runs, key=lambda r: r["sec"])
+        best["raw_secs"] = [r["sec"] for r in runs]
+        print("BENCH_RESULT " + json.dumps(best))
     finally:
         spark.stop()
 
@@ -374,6 +403,13 @@ def main() -> None:
     head_cores = min(CPUS, 16)
     crawl32 = _crawl_run(f"local[{head_cores}]", CRAWL_PAGES, head_cores)
 
+    # 2b) epoch-scale amortization evidence: the same crawl at a small page
+    # count.  Per-epoch orchestration jobs (fileExists anti-join, seen
+    # bookkeeping, checkpoints) are ~constant per epoch, so urls/s should
+    # RISE with epoch size — measured, not asserted.
+    small_pages = int(os.environ.get("SPARK_GRAFT_CRAWL_SMALL", "20000"))
+    crawl_small = _crawl_run(f"local[{head_cores}]", small_pages, head_cores)
+
     # 3) sf queries + ANN recall
     spark = get_spark("bench-queries", master=f"local[{head_cores}]",
                       shuffle_partitions=head_cores)
@@ -392,38 +428,19 @@ def main() -> None:
         "value": round(time.time() - t_start, 3),
         "queries": qtimes,
         "throughput": crawl32,
+        "epoch_scale": {"small": crawl_small, "large": crawl32},
         "ann_recall": recall,
         "scaling": scaling,
     })
     print(json.dumps(results))
 
 
-def _scaling() -> dict:
-    """Scaling evidence for the north_rule (N -> 4N, efficiency >= 0.8).
-
-    Level choice: BASELINE.md names local[8] vs local[32]; on this 32-core
-    host each Spark task pairs a JVM thread with a Python/Arrow worker
-    (~2 runnable threads per task), so local[32] would schedule ~64 threads
-    on 32 cores and understate the 4N level a real 4N-executor cluster
-    provides.  We therefore evidence N -> 4N as local[4] -> local[16]
-    (8 vs 32 busy threads — the largest pair that stays within the host)
-    and record the deviation here.
-
-    Protocol (the round-1 artifact failed on measurement, not plan): the
-    host throttles under sustained load and identical runs vary up to ~2x,
-    so each level runs in its own fresh subprocess (warmup + one timed
-    steady-state epoch), the levels are INTERLEAVED so drift hits both, and
-    each level takes the MEDIAN of its runs.  All raw samples are emitted
-    so no single outlier defines the number.
-    """
+def _scaling_one(n_small: int, n_big: int, steady_pages: int,
+                 reps: int) -> dict:
+    """One N -> 4N level pair under the pair protocol (see _scaling)."""
     import subprocess
 
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "1"))
-    n_big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "4"))
-    steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "50000"))
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
     factor = n_big / n_small
-
     env = dict(os.environ)
     env.setdefault("SPARK_DRIVER_MEM", "16g")
     pairs: list[dict] = []
@@ -441,33 +458,24 @@ def _scaling() -> dict:
     if not pairs:
         return {"error": "all scaling pairs failed"}
 
-    reps = len(pairs)
+    got = len(pairs)
     ratios = sorted(p[str(n_big)]["urls_per_sec"] /
                     p[str(n_small)]["urls_per_sec"] for p in pairs)
-    med_ratio = ratios[len(ratios) // 2]
+    med_ratio = ratios[got // 2]
 
     def med_sec(cores: int) -> float:
         ss = sorted(p[str(cores)]["sec"] for p in pairs)
-        return ss[len(ss) // 2]
+        return ss[got // 2]
 
     return {
-        "mode": f"steady-state fused epoch pipeline (~6KB pages, mock-fetch"
-                f" join + fused extract/rewrite Arrow pass + first-wins "
-                f"admission) as ONE lazy action; N={n_small} -> 4N={n_big} "
-                f"worker cores; per level: 1 untimed execution (codegen/JIT"
-                f"/plan — amortized to ~0 at the 10^7-page production epoch"
-                f" sizes), then min of 3 full re-executions (min discards "
-                f"this host's episodic co-tenant stalls, measured up to 8x);"
-                f" levels run back-to-back per pair in one warm JVM, order "
-                f"alternating; efficiency = median of {reps} per-pair "
-                f"speedups / {factor:.0f}",
+        "levels": f"local[{n_small}] -> local[{n_big}]",
         "pages": steady_pages,
         f"local{n_small}_sec": med_sec(n_small),
         f"local{n_big}_sec": med_sec(n_big),
         f"local{n_small}_urls_per_sec": round(
-            sorted(p[str(n_small)]["urls_per_sec"] for p in pairs)[reps // 2], 1),
+            sorted(p[str(n_small)]["urls_per_sec"] for p in pairs)[got // 2], 1),
         f"local{n_big}_urls_per_sec": round(
-            sorted(p[str(n_big)]["urls_per_sec"] for p in pairs)[reps // 2], 1),
+            sorted(p[str(n_big)]["urls_per_sec"] for p in pairs)[got // 2], 1),
         "raw_pairs": [
             {f"local{n_small}_runs": p[str(n_small)]["runs"],
              f"local{n_big}_runs": p[str(n_big)]["runs"],
@@ -476,6 +484,50 @@ def _scaling() -> dict:
             for p in pairs],
         "efficiency": round(med_ratio / factor, 3),
     }
+
+
+def _scaling() -> dict:
+    """Scaling evidence for the north_rule (N -> 4N, efficiency >= 0.8),
+    at TWO bracketing level pairs: 1 -> 4 and 4 -> 16 worker cores.
+
+    Level choice: BASELINE.md's sandbox protocol names local[8] -> local[32]
+    as the nominal pair, but on this 32-core host each Spark task pairs a
+    JVM thread with a Python/Arrow worker (~2 runnable threads per task),
+    so local[32] schedules ~64 runnable threads on 32 cores and understates
+    what a real 4N-executor cluster provides.  The evidence is therefore
+    two pairs that both fit the host — 1 -> 4 and 4 -> 16 (up to 32 busy
+    threads) — bracketing the claim instead of defending one deviation.
+
+    Pair protocol (what each _scaling_one run does): the host throttles
+    under sustained load (identical runs vary up to ~8x), so each pair runs
+    both levels back-to-back in ONE subprocess/warm JVM with the whole
+    process tree CPU-PINNED to exactly the level's core count; per level,
+    1 untimed execution pays codegen/JIT/plan (amortized to ~0 at the
+    10^7-page production epoch sizes the BASELINE.md model projects), then
+    the level time is the MIN of 3 full re-executions (min discards
+    episodic co-tenant stalls).  The pair's speedup is a throughput RATIO
+    taken seconds apart, so host drift largely cancels; the reported
+    efficiency is the MEDIAN of SPARK_GRAFT_SCALING_REPS pair speedups
+    divided by 4.  All raw samples are emitted."""
+    steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "50000"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "1"))
+    n_big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "4"))
+
+    primary = _scaling_one(n_small, n_big, steady_pages, reps)
+    out = {
+        "mode": "steady-state fused epoch pipeline (~6KB pages, mock-fetch "
+                "join + fused extract/rewrite Arrow pass + first-wins "
+                "admission) as ONE lazy action; per pair: both levels "
+                "back-to-back in one warm JVM, process tree CPU-pinned to "
+                "the level's cores, 1 untimed + min-of-3 timed executions "
+                "per level; efficiency = median of per-pair throughput "
+                "speedups / 4; two bracketing pairs (1->4, 4->16)",
+        **primary,
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1":
+        out["secondary_pair"] = _scaling_one(4, 16, steady_pages, reps)
+    return out
 
 
 if __name__ == "__main__":
