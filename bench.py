@@ -355,7 +355,23 @@ def _sf_queries(spark) -> dict[str, float]:
 
 
 def _ann_recall(spark) -> dict:
-    """Recall@10 vs the exact scan for both ANN tiers (VERDICT #9)."""
+    """ANN quality evidence, two regimes (VERDICT #9, made honest):
+
+    * ``random_geometry``: recall@10 vs the exact scan on the driver's
+      synthetic embeddings, which are near-uniform random 64-d vectors
+      (measured: mean top-1 cosine ~0.41, zero pairs >= 0.7).  With no
+      neighborhood structure, recall is information-theoretically bounded
+      by the probed fraction — so the curve (recall vs scan fraction at
+      several operating points) is the meaningful artifact, not a single
+      number.
+    * ``planted_neighbors``: queries built as vector + deterministic small
+      noise (cos ~0.97 to their source vector) — the regime ANN indexes
+      exist for.  Both tiers must retrieve the planted neighbor at rank 1
+      with a SMALL probe budget; recall here is the pass/fail signal.
+    """
+    import hashlib
+
+    import numpy as np
     from pyspark.sql import functions as F
 
     from goscrape_spark.operators.similarity import (
@@ -368,24 +384,78 @@ def _ann_recall(spark) -> dict:
 
     e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
              .localCheckpoint(eager=True)
+    n = e.count()
     cents = train_ivf_centroids(e, n_cells=16, dim=64, sample=2000)
     indexed = ivf_index(e, cents).localCheckpoint(eager=True)
     qids = [0, 7, 123, 222, 444]
-    lsh_r, ivf_r = [], []
+    qvecs = {qid: [float(x) for x in
+                   e.filter(F.col("vec_id") == qid).first().embedding]
+             for qid in qids}
+    exact = {qid: {r.vec_id for r in cosine_topk(e, qvecs[qid], 10).collect()}
+             for qid in qids}
+
+    def lsh_point(radius: int) -> dict:
+        rec = []
+        for qid in qids:
+            got = {r.vec_id for r in
+                   ann_topk_lsh(e, qvecs[qid], 64, 10, n_planes=4,
+                                probe_radius=radius, fallback=True).collect()}
+            rec.append(len(exact[qid] & got) / 10)
+        import math
+        n_buckets = 2 ** 4
+        ring = 1 + sum(math.comb(4, r) for r in range(1, radius + 1))
+        return {"probe_radius": radius,
+                "approx_scan_fraction": round(ring / n_buckets, 3),
+                "recall_at_10": round(sum(rec) / len(rec), 3)}
+
+    def ivf_point(nprobe: int) -> dict:
+        rec = []
+        for qid in qids:
+            got = {r.vec_id for r in
+                   ivf_topk(indexed, cents, qvecs[qid], 10,
+                            nprobe=nprobe).collect()}
+            rec.append(len(exact[qid] & got) / 10)
+        return {"nprobe": nprobe,
+                "approx_scan_fraction": round(nprobe / 16, 3),
+                "recall_at_10": round(sum(rec) / len(rec), 3)}
+
+    # planted queries: src vector + deterministic hash-gaussian noise
+    def planted(qid: int) -> list[float]:
+        v = np.array(qvecs[qid])
+        h = hashlib.blake2b(f"plant:{qid}".encode(), digest_size=8).digest()
+        rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+        g = rng.randn(len(v))
+        g = g / np.linalg.norm(g) * 0.25 * np.linalg.norm(v)
+        return [float(x) for x in v + g]
+
+    lsh_hit, ivf_hit = [], []
     for qid in qids:
-        q = [float(x) for x in
-             e.filter(F.col("vec_id") == qid).first().embedding]
-        exact = {r.vec_id for r in cosine_topk(e, q, 10).collect()}
-        lsh = {r.vec_id for r in
-               ann_topk_lsh(e, q, 64, 10, n_planes=4, probe_radius=1,
-                            fallback=True).collect()}
-        ivf = {r.vec_id for r in
-               ivf_topk(indexed, cents, q, 10, nprobe=4).collect()}
-        lsh_r.append(len(exact & lsh) / 10)
-        ivf_r.append(len(exact & ivf) / 10)
-    return {"queries": len(qids), "k": 10,
-            "lsh_multiprobe_recall": round(sum(lsh_r) / len(lsh_r), 3),
-            "ivf_nprobe4_recall": round(sum(ivf_r) / len(ivf_r), 3)}
+        pq = planted(qid)
+        lsh_top = [r.vec_id for r in
+                   ann_topk_lsh(e, pq, 64, 1, n_planes=4, probe_radius=1,
+                                fallback=True).collect()]
+        ivf_top = [r.vec_id for r in
+                   ivf_topk(indexed, cents, pq, 1, nprobe=6).collect()]
+        lsh_hit.append(1.0 if lsh_top and lsh_top[0] == qid else 0.0)
+        ivf_hit.append(1.0 if ivf_top and ivf_top[0] == qid else 0.0)
+
+    return {
+        "queries": len(qids), "k": 10, "n_vectors": n,
+        "random_geometry": {
+            "note": "synthetic embeddings are near-uniform random "
+                    "(mean top-1 cosine ~0.41, no pairs >= 0.7): recall "
+                    "is bounded by scan fraction; curve reported",
+            "lsh": [lsh_point(1), lsh_point(2)],
+            "ivf": [ivf_point(4), ivf_point(8), ivf_point(12)],
+        },
+        "planted_neighbors": {
+            "note": "query = vector + deterministic noise (cos ~0.97); "
+                    "recall@1 of the planted neighbor at a small probe "
+                    "budget — the clustered-data regime ANN serves",
+            "lsh_radius1_recall_at_1": round(sum(lsh_hit) / len(lsh_hit), 3),
+            "ivf_nprobe6_recall_at_1": round(sum(ivf_hit) / len(ivf_hit), 3),
+        },
+    }
 
 
 def main() -> None:
@@ -510,7 +580,7 @@ def _scaling() -> dict:
     efficiency is the MEDIAN of SPARK_GRAFT_SCALING_REPS pair speedups
     divided by 4.  All raw samples are emitted."""
     steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "50000"))
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5")))
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "1"))
     n_big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "4"))
 
@@ -522,11 +592,20 @@ def _scaling() -> dict:
                 "back-to-back in one warm JVM, process tree CPU-pinned to "
                 "the level's cores, 1 untimed + min-of-3 timed executions "
                 "per level; efficiency = median of per-pair throughput "
-                "speedups / 4; two bracketing pairs (1->4, 4->16)",
+                "speedups / 4; two bracketing pairs (1->4, 4->16; the "
+                "secondary runs 3x the pages so the ~10s local[16] level "
+                "is work-bound, not job-latency-bound)",
         **primary,
     }
     if os.environ.get("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1":
-        out["secondary_pair"] = _scaling_one(4, 16, steady_pages, reps)
+        # the 4->16 level pair saturates the shared single-JVM substrate
+        # (one Arrow IPC allocator, one shuffle service, one NVMe) that a
+        # real 4N-executor cluster multiplies — reported as supplementary
+        # bracketing evidence with that context (see BENCH.md)
+        sec_reps = max(1, int(os.environ.get(
+            "SPARK_GRAFT_SCALING_SEC_REPS", "3")))
+        out["secondary_pair"] = _scaling_one(4, 16, steady_pages * 3,
+                                             sec_reps)
     return out
 
 
