@@ -188,10 +188,15 @@ def _set_tree_affinity(n_cpus: int) -> None:
     the big one (an extra core is +100% for N=1, +25% for N=4), silently
     deflating measured speedup.  Pinning reproduces what a cgroup-limited
     executor container gives on a real cluster.  Threads created later
-    inherit their creator's mask, so one sweep per level suffices."""
+    inherit their creator's mask, so one sweep per level suffices.
+
+    The mask is the TOP of the core range, not cores 0..N-1: core 0 (and
+    its low neighbors) carry IRQ/housekeeping load, and pinning the
+    1-core level onto core 0 exposes it to 100% of that bias while a
+    4-core level dilutes it 4x — a systematic ratio skew, not noise."""
     import glob
 
-    mask = set(range(n_cpus))
+    mask = set(range(max(0, CPUS - n_cpus), CPUS)) or {0}
 
     def descendants(pid: int) -> list[int]:
         out = [pid]
@@ -214,15 +219,20 @@ def _set_tree_affinity(n_cpus: int) -> None:
 
 def _scaling_pair_worker(n_pages: int, small: int, big: int,
                          big_first: bool) -> None:
-    """Run ONE (small, big) level pair back-to-back in one process.
+    """Run ONE (small, big) level pair, INTERLEAVED, in one process.
 
-    The two timed runs are seconds apart in the SAME warm JVM (sessions are
-    recreated per level, the JIT/allocator state persists symmetrically),
-    so host-throughput drift — the dominant noise source, up to 3-4x over
-    minutes — hits both levels of a pair nearly equally and cancels in the
-    pair's throughput RATIO.  Each level runs with the WHOLE process tree
-    pinned to exactly that many CPUs (see _set_tree_affinity) so "N vs 4N
-    cores" means physical cores, not worker threads with free overflow."""
+    Each level is visited TWICE, alternating (A,B,A,B), with 2 timed
+    re-executions per visit; the level's time is the min over all 4 runs.
+    Rationale (measured round 3): this host's co-tenant stalls are
+    SUSTAINED over minutes, so a level whose runs are contiguous in time
+    can be wiped entirely — min-of-3 inside one dirty window still reports
+    a dirty number and the pair ratio swings 2.2x-4.0x.  Two visits per
+    level sample two separated time windows, so the min sees a clean
+    window far more often, while the warm JVM (sessions are recreated per
+    visit; JIT/allocator state persists) keeps visits comparable.  Each
+    visit runs with the WHOLE process tree pinned to exactly that many
+    CPUs (see _set_tree_affinity) so "N vs 4N cores" means physical
+    cores, not worker threads with free overflow."""
     from pyspark.sql import functions as F
 
     from goscrape_spark.config import CrawlConfig
@@ -231,9 +241,12 @@ def _scaling_pair_worker(n_pages: int, small: int, big: int,
     from goscrape_spark.sources.synth import seed_url, synthetic_site
 
     host = "bench.example.org"
-    levels = [big, small] if big_first else [small, big]
-    out = {}
-    for cores in levels:
+    base = [big, small] if big_first else [small, big]
+    visits = base * 2
+    runs: dict[int, list[float]] = {small: [], big: []}
+    pages_done: dict[int, int] = {}
+    discovered: dict[int, int] = {}
+    for cores in visits:
         # shuffle partitions follow the DATA, identically at both levels
         # (partition count is a property of the dataset; only executor
         # count varies between N and 4N) — a single level-N-sized shuffle
@@ -243,21 +256,36 @@ def _scaling_pair_worker(n_pages: int, small: int, big: int,
         try:
             spark.sparkContext.setLogLevel("ERROR")
             # fixture build runs unpinned (untimed); pin just before the
-            # measured runs, before the first Python workers spawn
+            # measured runs, before the first Python workers spawn.
+            # The fixture is co-partitioned with the frontier on url so the
+            # mock-fetch join does NOT re-shuffle the ~300MB body side
+            # every execution (localCheckpoint preserves partitioning) —
+            # production live fetch has no such join; this keeps the bench
+            # measuring the pipeline, not a fixture artifact.
             pages = synthetic_site(spark, n_pages=n_pages, fanout=16,
                                    n_assets=max(100, n_pages // 20),
                                    n_ext_hosts=8, filler_repeat=STEADY_FILLER) \
-                .localCheckpoint(eager=True)
+                .repartition(2 * big, "url").localCheckpoint(eager=True)
             c = Crawler(spark, CrawlConfig(url=seed_url()), pages)
             page_rows = pages.filter(
                 F.col("url").startswith(f"https://{host}")) \
                 .select("url").repartition(2 * big, "url") \
                 .localCheckpoint(eager=True)
             _set_tree_affinity(cores)
-            out[cores] = _steady_run(spark, c, page_rows, 2 * big)
-            _set_tree_affinity(CPUS)   # release for the next level's build
+            r = _steady_run(spark, c, page_rows, 2 * big, reps=2)
+            _set_tree_affinity(CPUS)   # release for the next visit's build
+            runs[cores] += r["runs"]
+            pages_done[cores] = r["pages"]
+            discovered[cores] = r["discovered"]
         finally:
             spark.stop()
+    out = {}
+    for cores, rr in runs.items():
+        dt = min(rr)
+        total = pages_done[cores] + discovered[cores]
+        out[cores] = {"sec": dt, "runs": rr, "pages": pages_done[cores],
+                      "discovered": discovered[cores],
+                      "urls_per_sec": round(total / dt, 1)}
     print("BENCH_RESULT " + json.dumps(out))
 
 
@@ -569,14 +597,16 @@ def _scaling() -> dict:
     threads) — bracketing the claim instead of defending one deviation.
 
     Pair protocol (what each _scaling_one run does): the host throttles
-    under sustained load (identical runs vary up to ~8x), so each pair runs
-    both levels back-to-back in ONE subprocess/warm JVM with the whole
-    process tree CPU-PINNED to exactly the level's core count; per level,
-    1 untimed execution pays codegen/JIT/plan (amortized to ~0 at the
-    10^7-page production epoch sizes the BASELINE.md model projects), then
-    the level time is the MIN of 3 full re-executions (min discards
-    episodic co-tenant stalls).  The pair's speedup is a throughput RATIO
-    taken seconds apart, so host drift largely cancels; the reported
+    under sustained load (identical runs vary up to ~8x, stalls last
+    minutes), so each pair runs its levels INTERLEAVED (A,B,A,B — two
+    visits per level) in ONE subprocess/warm JVM with the whole process
+    tree CPU-PINNED to exactly the level's core count; per visit, 1
+    untimed execution pays codegen/JIT/plan (amortized to ~0 at the
+    10^7-page production epoch sizes the BASELINE.md model projects) then
+    2 timed full re-executions; the level time is the MIN over its 4 runs
+    across both visits (two separated time windows, so a sustained stall
+    cannot wipe a level).  The pair's speedup is a throughput RATIO from
+    the same few minutes, so host drift largely cancels; the reported
     efficiency is the MEDIAN of SPARK_GRAFT_SCALING_REPS pair speedups
     divided by 4.  All raw samples are emitted."""
     steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES", "50000"))
@@ -588,13 +618,16 @@ def _scaling() -> dict:
     out = {
         "mode": "steady-state fused epoch pipeline (~6KB pages, mock-fetch "
                 "join + fused extract/rewrite Arrow pass + first-wins "
-                "admission) as ONE lazy action; per pair: both levels "
-                "back-to-back in one warm JVM, process tree CPU-pinned to "
-                "the level's cores, 1 untimed + min-of-3 timed executions "
-                "per level; efficiency = median of per-pair throughput "
-                "speedups / 4; two bracketing pairs (1->4, 4->16; the "
-                "secondary runs 3x the pages so the ~10s local[16] level "
-                "is work-bound, not job-latency-bound)",
+                "admission) as ONE lazy action; per pair: two INTERLEAVED "
+                "visits per level (A,B,A,B) in one warm JVM, process tree "
+                "CPU-pinned to the level's cores, 1 untimed + 2 timed "
+                "executions per visit, level time = min over all 4 runs "
+                "(sustained multi-minute host stalls can wipe a contiguous "
+                "level; interleaving samples two separated windows); "
+                "efficiency = median of per-pair throughput speedups / 4; "
+                "two bracketing pairs (1->4, 4->16; the secondary runs 3x "
+                "the pages so the ~10s local[16] level is work-bound, not "
+                "job-latency-bound)",
         **primary,
     }
     if os.environ.get("SPARK_GRAFT_SCALING_SECONDARY", "1") == "1":
