@@ -334,6 +334,38 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS end-to-end (pigeonhole chunk banding +
+    bit_count verify): documents ∪ an exact copy at doc_id+2000, so every
+    doc meets its duplicate at Hamming 0 plus whatever true near-dups
+    exist — exercising the banded join, not just the signatures."""
+    from goscrape_spark.operators.dedup import simhash_near_pairs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    return simhash_near_pairs(d.unionByName(dup), max_hamming=3)
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing over a deterministic synthetic
+    media table (duration derived from doc_id): one row per sampled
+    timestamp (operators/multimodal.sample_video_frames)."""
+    from goscrape_spark.operators.multimodal import sample_video_frames
+
+    media = _docs(spark, sf_dir).select(
+        F.concat(F.lit("vid://"), F.col("doc_id").cast("string"))
+         .alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 13) * 337).cast("int").alias("duration_ms"),
+        ).alias("meta"))
+    return sample_video_frames(media, every_ms=250)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.similarity import ann_topk_lsh
 
@@ -514,6 +546,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "video_frames": q_video_frames,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "rewrite_math": q_rewrite_math,
@@ -587,10 +621,14 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id"""
 
 
-_SIMHASH_SQL = r"""
-WITH w AS (
+def _simhash_ctes(src: str) -> str:
+    """Composable CTE chain ending in ``sims(id, simhash)``: the SimHash
+    signature mirror over an arbitrary (doc_id, text) source
+    (operators/dedup._simhash_batch semantics: md5 first 8 bytes
+    big-endian, per-bit +-1 sums, sign -> bit)."""
+    return r"""w AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-  FROM documents),
+  FROM """ + src + r"""),
 th AS (
   SELECT doc_id, list_transform(ws, t -> struct_pack(
     hi := list_reduce(list_transform(range(1, 9),
@@ -605,12 +643,37 @@ bits AS (
     list_sum(list_transform(hs, h -> CASE WHEN
       (CASE WHEN b < 32 THEN (h.lo >> b) ELSE (h.hi >> (b - 32)) END) & 1 = 1
       THEN 1 ELSE -1 END)) AS s
-  FROM th, (SELECT unnest(range(64)) AS b))
-SELECT doc_id AS id,
-  (sum(CASE WHEN s > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
-   - sum(CASE WHEN s > 0 AND b = 63 THEN 9223372036854775807 ELSE 0 END)
-   - sum(CASE WHEN s > 0 AND b = 63 THEN 1 ELSE 0 END))::BIGINT AS simhash
-FROM bits GROUP BY doc_id"""
+  FROM th, (SELECT unnest(range(64)) AS b)),
+sims AS (
+  SELECT doc_id AS id,
+    (sum(CASE WHEN s > 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+     - sum(CASE WHEN s > 0 AND b = 63 THEN 9223372036854775807 ELSE 0 END)
+     - sum(CASE WHEN s > 0 AND b = 63 THEN 1 ELSE 0 END))::BIGINT AS simhash
+  FROM bits GROUP BY doc_id)"""
+
+
+_SIMHASH_SQL = ("WITH " + _simhash_ctes("documents") +
+                " SELECT id, simhash FROM sims")
+
+
+def _simhash_pairs_sql() -> str:
+    """Mirror of q_simhash_pairs: signatures over documents ∪ an exact
+    copy at doc_id+2000, pigeonhole 16-bit chunk banding, bucket
+    self-join, bit_count verify (operators/dedup.simhash_near_pairs;
+    arithmetic >> matches Spark's shiftright sign extension)."""
+    return ("WITH src AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 2000, text FROM documents), " +
+            _simhash_ctes("src") + """,
+chunks AS (
+  SELECT id, simhash, k, (simhash >> (k * 16)) & 65535 AS chunk
+  FROM sims, (SELECT unnest(range(4)) AS k)),
+cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM chunks a JOIN chunks b
+    ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id)
+SELECT id1, id2, bit_count(xor(s1, s2))::INT AS hamming
+FROM cand WHERE bit_count(xor(s1, s2)) <= 3""")
 
 
 def _ann_sql() -> str:
@@ -861,6 +924,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_sql(),
 
         "simhash": _SIMHASH_SQL,
+
+        "simhash_pairs": _simhash_pairs_sql(),
+
+        "video_frames": """
+            WITH m AS (
+              SELECT 'vid://' || doc_id::VARCHAR AS media_id,
+                     ((doc_id % 13) * 337)::INT AS duration_ms
+              FROM documents)
+            SELECT media_id,
+                   unnest(generate_series(0, greatest(duration_ms - 1, 0),
+                                          250)) AS ts_ms,
+                   md5(media_id || '@' || duration_ms::VARCHAR) AS frame_key
+            FROM m""",
 
         "ann_lsh_topk": _ann_sql(),
 
