@@ -22,3 +22,36 @@ def test_documents_table_schema_and_order(spark):
     link = next(s for s in idx if s.kind == "link")
     assert link.media_ref == "https://example.org/style.css#fragment"
     assert link.text == "https://example.org/style.css#fragment"
+
+
+def test_crawl_documents_table_stays_lazy(spark):
+    """The full interleaved span table is built per epoch but must stay
+    UNEXECUTED unless the caller consumes CrawlResult.documents — the
+    bench/production hot path materializes fetch_log/seen/output only
+    (plans/crawl.py keeps full_spans lazy)."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import (
+        SITE_LINKS,
+        SITE_LINKS_START,
+        pages_df,
+    )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-docs", "laziness probe", False)
+    try:
+        res = crawl(spark, CrawlConfig(url=SITE_LINKS_START),
+                    pages_df(spark, SITE_LINKS))
+        res.fetch_log.count()
+        res.seen.count()
+        res.output.count()
+        jobs_hot_path = len(sc.statusTracker().getJobIdsForGroup("lazy-docs"))
+        n_spans = res.documents.count()
+        jobs_after_docs = len(
+            sc.statusTracker().getJobIdsForGroup("lazy-docs"))
+    finally:
+        sc.setJobGroup("", "", False)
+    assert n_spans > 0
+    # consuming documents launches NEW work -> it was not computed by the
+    # hot-path actions above
+    assert jobs_after_docs > jobs_hot_path
