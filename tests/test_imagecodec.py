@@ -114,14 +114,22 @@ def test_jpeg_decode_rejects_garbage():
     assert jpeg_decode(bytes(jp)) is None
 
 
-@pytest.mark.parametrize("path", [
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-    "test/test_email/data/python.jpg",
-])
-def test_jpeg_decode_external_baseline(path):
-    """A JPEG produced by a real encoder (subsampled) decodes."""
+def test_jpeg_decode_external_baseline():
+    """A JPEG produced by a real encoder (subsampled) decodes.
+
+    Fixture: ``python.jpg`` ships with CPython's own test suite
+    (Lib/test/test_email/data/python.jpg) — resolved portably from the
+    installed ``test`` package location.
+    """
+    import importlib.util
+
+    spec = importlib.util.find_spec("test")
+    if not (spec and spec.submodule_search_locations):
+        pytest.skip("CPython test package not installed on this host")
+    path = os.path.join(next(iter(spec.submodule_search_locations)),
+                        "test_email", "data", "python.jpg")
     if not os.path.exists(path):
-        pytest.skip("external fixture not on this host")
+        pytest.skip("CPython test-suite fixture not shipped in this build")
     dec = jpeg_decode(open(path, "rb").read())
     assert dec is not None and dec.shape == (16, 16, 3)
 
