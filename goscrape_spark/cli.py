@@ -23,7 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="Scrape websites into offline-browsable trees, on Spark.")
     p.add_argument("urls", nargs="*", help="seed URLs to scrape")
     p.add_argument("--output", default="", help="output directory")
-    p.add_argument("--depth", type=int, default=0, help="max depth, 0=unlimited")
+    p.add_argument("--depth", type=int, default=10,
+                   help="download depth, 0 for unlimited (reference "
+                        "default 10, main.go:32)")
     p.add_argument("--include", action="append", default=[],
                    help="include URL path regex (repeatable)")
     p.add_argument("--exclude", action="append", default=[],
@@ -125,12 +127,21 @@ def run(argv: list[str], spark=None) -> int:
 
                 from .functions.cookies import Cookie, save_cookies
                 seed_host = res.seed_host.partition(":")[0]
+
+                def matches_seed(domain: str) -> bool:
+                    # RFC 6265 domain-match like Go's jar.Cookies(s.URL):
+                    # http.cookiejar stores Domain-attribute cookies with a
+                    # leading dot ('.example.org'), which must still match
+                    # the seed host and its subdomain position
+                    d = domain.lstrip(".")
+                    return seed_host == d or seed_host.endswith("." + d)
+
                 jar = [Cookie(
                         name=d["name"], value=d["value"],
                         expires=(datetime.fromtimestamp(
                             d["expires"], timezone.utc)
                             if d.get("expires") else None))
-                       for d in res.cookies if d["domain"] == seed_host]
+                       for d in res.cookies if matches_seed(d["domain"])]
                 if jar:
                     save_cookies(args.savecookiefile, jar)
             print(f"{url}: {res.epochs} epochs, "

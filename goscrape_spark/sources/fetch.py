@@ -109,6 +109,7 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
         import http.cookiejar
         import json as _json
         import urllib.error
+        import urllib.parse
         import urllib.request
 
         import pandas as pd
@@ -164,20 +165,44 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
             rows["status"].append(status)
             rows["attempts"].append(attempts)
 
-        # final jar snapshot on the batch's first row (None elsewhere): live
-        # cookies, plus expiry tombstones for base cookies the server
-        # deleted so the driver's merge forgets them too
+        # Snapshot DELTAS only, on the batch's first row (None elsewhere).
+        # The jar starts from the whole base jar (cookie matching needs
+        # it), but emitting the full jar back would let a batch for an
+        # unrelated asset host clobber a same-round Set-Cookie update from
+        # the cookie's own host at the driver's last-write-wins merge.  So:
+        # * a live cookie is emitted only if it is new or its
+        #   (value, expires) changed vs the batch's base jar;
+        # * an expiry tombstone (expires=0) is emitted only for base
+        #   cookies whose domain this batch actually contacted (the
+        #   grouped host, plus redirect targets) — only those servers
+        #   could have deleted them.
+        contacted = {str(key[0]).partition(":")[0]}
+        for ru in rows["resp_url"]:
+            h = urllib.parse.urlsplit(ru).hostname
+            if h:
+                contacted.add(h)
+
+        def domain_contacted(dom: str) -> bool:
+            d = dom.lstrip(".")
+            return any(h == d or h.endswith("." + d) for h in contacted)
+
         snap = {(c.domain, c.path, c.name): {
                     "name": c.name, "value": c.value, "domain": c.domain,
                     "path": c.path, "expires": c.expires}
                 for c in jar}
+        deltas = {}
+        for k, c in snap.items():
+            b = base_cookies.get(k)
+            if b is None or (c["value"], c["expires"]) != \
+                    (b["value"], b.get("expires")):
+                deltas[k] = c
         for k, d in base_cookies.items():
-            if k not in snap:
-                snap[k] = dict(d, expires=0)
+            if k not in snap and domain_contacted(d["domain"]):
+                deltas[k] = dict(d, expires=0)
         rows["set_cookies"] = [None] * len(rows["url"])
         if rows["set_cookies"]:
             rows["set_cookies"][0] = [_json.dumps(d, sort_keys=True)
-                                      for d in snap.values()]
+                                      for d in deltas.values()]
         return pd.DataFrame(rows)
 
     return src.groupBy("host").applyInPandas(fetch_host,

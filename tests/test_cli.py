@@ -14,6 +14,8 @@ def test_parser_flags():
     assert a.urls == ["https://x.org/"] and a.depth == 2
     assert a.include == ["^/a"] and a.exclude == ["b$"]
     assert a.user == "u:pw" and a.imagequality == 80
+    # the reference defaults --depth to 10, NOT unlimited (main.go:32)
+    assert p.parse_args(["https://x.org/"]).depth == 10
 
 
 def test_cli_crawl_mock_web(spark, tmp_path):

@@ -28,6 +28,10 @@ class Handler(BaseHTTPRequestHandler):
         if self.path == "/":
             # the login page issues the session id
             self.send_header("Set-Cookie", "session=tok123; Path=/")
+        elif self.path == "/logout":
+            # server-side deletion: the jar must drop the cookie and the
+            # batch must emit a tombstone for it
+            self.send_header("Set-Cookie", "session=gone; Path=/; Max-Age=0")
         self.end_headers()
         if self.path == "/":
             self.wfile.write(b'<html><a href="/gated">members</a></html>')
@@ -62,6 +66,46 @@ def test_set_cookie_absorbed_mid_batch(spark, server):
     snaps = [json.loads(s) for r in rows if r.set_cookies
              for s in r.set_cookies]
     assert {(d["name"], d["value"]) for d in snaps} == {("session", "tok123")}
+
+
+def test_snapshot_is_delta_only(spark, server):
+    """A batch emits ONLY genuine cookie changes: unchanged base cookies —
+    including other hosts' — must not ride set_cookies, or a batch for an
+    unrelated asset host could clobber a same-round update from the
+    cookie's own host at the driver's last-write-wins merge."""
+    base = [
+        # this host's cookie, unchanged by a /gated fetch
+        {"name": "session", "value": "tok123", "domain": "127.0.0.1",
+         "path": "/", "expires": None},
+        # an unrelated host's cookie this batch never contacts
+        {"name": "tok", "value": "v1", "domain": "other.example.org",
+         "path": "/", "expires": None},
+    ]
+    frontier = spark.createDataFrame([(f"{server}/gated",)], "url string")
+    rows = http_fetch_df(frontier, CrawlConfig(url=server),
+                         session_cookies=base).collect()
+    snaps = [json.loads(s) for r in rows if r.set_cookies
+             for s in r.set_cookies]
+    assert snaps == []   # nothing changed -> nothing emitted
+
+
+def test_deletion_tombstone_only_from_contacted_host(spark, server):
+    """A server-side deletion (Set-Cookie Max-Age=0) produces an expiry
+    tombstone from the cookie's own host's batch; an unrelated host's base
+    cookie is never tombstoned just because this batch didn't see it."""
+    base = [
+        {"name": "session", "value": "tok123", "domain": "127.0.0.1",
+         "path": "/", "expires": None},
+        {"name": "tok", "value": "v1", "domain": "other.example.org",
+         "path": "/", "expires": None},
+    ]
+    frontier = spark.createDataFrame([(f"{server}/logout",)], "url string")
+    rows = http_fetch_df(frontier, CrawlConfig(url=server),
+                         session_cookies=base).collect()
+    snaps = [json.loads(s) for r in rows if r.set_cookies
+             for s in r.set_cookies]
+    assert [(d["name"], d["domain"], d["expires"]) for d in snaps] == \
+        [("session", "127.0.0.1", 0)]
 
 
 def test_live_crawl_carries_session_across_epochs(spark, server):
