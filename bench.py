@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "throughput": {...}, "scaling": {...}}
+The FINAL stdout line is ONE COMPACT JSON line (scalars only — the
+driver's artifact keeps just the tail of stdout, which a full dump
+outgrows):
+  {"metric": ..., "value": <headline crawl sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...},
+   "epoch_scale": {...}, "scaling": {...}, "ann_recall": {...}}
+Full detail (raw samples, recall curves) is written to BENCH_FULL.json
+and printed earlier as a "BENCH_DETAIL " prefixed line.
 
 Components:
 * crawl        — the flagship epoch-synchronous crawl over a deterministic
@@ -218,8 +222,17 @@ def _set_tree_affinity(n_cpus: int) -> None:
 
 
 def _scaling_pair_worker(n_pages: int, small: int, big: int,
-                         big_first: bool) -> None:
+                         big_first: bool, substrate: str = "jvm") -> None:
     """Run ONE (small, big) level pair, INTERLEAVED, in one process.
+
+    ``substrate='multijvm'`` runs the BIG level as
+    ``local-cluster[4, big//4, mem]`` — four separate executor JVMs (four
+    Arrow IPC allocators, four shuffle managers) on this host, the closest
+    sandbox-feasible stand-in for what a real 4N-executor cluster provides.
+    The single-JVM local[N] variant shares ONE Arrow allocator across all
+    worker threads, which round 3 measured as the anti-scaling substrate at
+    the 4->16 pair; running both variants brackets whether the residue
+    belongs to the substrate or the dataflow (VERDICT r3 ask #3).
 
     Each level is visited TWICE, alternating (A,B,A,B), with 2 timed
     re-executions per visit; the level's time is the min over all 4 runs.
@@ -246,13 +259,34 @@ def _scaling_pair_worker(n_pages: int, small: int, big: int,
     runs: dict[int, list[float]] = {small: [], big: []}
     pages_done: dict[int, int] = {}
     discovered: dict[int, int] = {}
+
+    def level_session(cores: int):
+        if substrate == "multijvm" and cores == big:
+            # 4 executor JVMs x big/4 cores; executors spawn their own
+            # Python workers, so pin the interpreter and ship the package
+            # as a --py-files zip (executor workers don't inherit the
+            # driver's sys.path the way local[N] threads do)
+            os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+            from scripts.build_pyfiles import build
+            zip_path = build(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "dist", "goscrape_spark.zip"))
+            sp = get_spark(
+                f"bench-pair-mjvm-{cores}",
+                master=f"local-cluster[4,{cores // 4},6144]",
+                shuffle_partitions=2 * big,
+                extra_conf={"spark.executor.memory": "5g"})
+            sp.sparkContext.addPyFile(zip_path)
+            return sp
+        return get_spark(f"bench-pair-{cores}", master=f"local[{cores}]",
+                         shuffle_partitions=2 * big)
+
     for cores in visits:
         # shuffle partitions follow the DATA, identically at both levels
         # (partition count is a property of the dataset; only executor
         # count varies between N and 4N) — a single level-N-sized shuffle
         # partition would also spill/sort worse, skewing the comparison
-        spark = get_spark(f"bench-pair-{cores}", master=f"local[{cores}]",
-                          shuffle_partitions=2 * big)
+        spark = level_session(cores)
         try:
             spark.sparkContext.setLogLevel("ERROR")
             # fixture build runs unpinned (untimed); pin just before the
@@ -522,19 +556,86 @@ def main() -> None:
 
     qtimes["crawl"] = crawl32["sec"]
     results.update({
-        "metric": "goscrape-spark headline suite wall time",
-        "value": round(time.time() - t_start, 3),
+        "metric": "goscrape-spark headline crawl wall time "
+                  f"({CRAWL_PAGES}-page mock web, pinned min-of-N)",
+        "value": crawl32["sec"],
+        "suite_sec": round(time.time() - t_start, 3),
         "queries": qtimes,
         "throughput": crawl32,
         "epoch_scale": {"small": crawl_small, "large": crawl32},
         "ann_recall": recall,
         "scaling": scaling,
     })
-    print(json.dumps(results))
+    # Full detail (raw samples, curves) goes to a sidecar file and an EARLY
+    # stdout line; the FINAL line is a compact scalars-only summary.  The
+    # driver's artifact captures only the tail of stdout, which round 3's
+    # full dump outgrew (BENCH_r03.json recorded parsed: null).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json")
+    with open(detail_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print("BENCH_DETAIL " + json.dumps(results))
+    print(json.dumps(_compact(results)))
+
+
+def _compact(results: dict) -> dict:
+    """Scalars-only final-line summary (raw pairs/curves: BENCH_FULL.json)."""
+    thr = results.get("throughput", {})
+    out = {
+        "metric": results.get("metric"),
+        "value": results.get("value"),
+        "unit": "sec",
+        "sf": results.get("sf"),
+        "suite_sec": results.get("suite_sec"),
+        "queries": {k: round(v, 2) if isinstance(v, float) else v
+                    for k, v in (results.get("queries") or {}).items()},
+        "throughput": {k: thr.get(k) for k in
+                       ("sec", "urls_per_sec", "fetches", "seen", "epochs",
+                        "jobs_per_epoch") if k in thr},
+    }
+    es = results.get("epoch_scale", {})
+    if es:
+        out["epoch_scale"] = {
+            name: {"pages": lvl.get("fetches"),
+                   "urls_per_sec": lvl.get("urls_per_sec"),
+                   "jobs_per_epoch": lvl.get("jobs_per_epoch")}
+            for name, lvl in es.items() if isinstance(lvl, dict)}
+
+    def pair(p: dict | None) -> dict | None:
+        if not isinstance(p, dict):
+            return None
+        if "efficiency" not in p:
+            return {"error": str(p.get("error", "failed"))[:120]}
+        return {k: p.get(k) for k in
+                ("levels", "substrate", "pages", "small_urls_per_sec",
+                 "big_urls_per_sec", "efficiency") if k in p}
+
+    sc = results.get("scaling", {})
+    if sc:
+        out["scaling"] = {
+            "primary": pair(sc),
+            "secondary": pair(sc.get("secondary_pair")),
+            "secondary_multijvm": pair(sc.get("secondary_pair_multijvm")),
+        }
+    ar = results.get("ann_recall", {})
+    if isinstance(ar, dict) and "planted_neighbors" in ar:
+        pn, rg = ar["planted_neighbors"], ar["random_geometry"]
+        out["ann_recall"] = {
+            "planted_lsh_r1_recall_at_1": pn["lsh_radius1_recall_at_1"],
+            "planted_ivf_np6_recall_at_1": pn["ivf_nprobe6_recall_at_1"],
+            "random_lsh": {str(p["probe_radius"]): p["recall_at_10"]
+                           for p in rg["lsh"]},
+            "random_ivf": {str(p["nprobe"]): p["recall_at_10"]
+                           for p in rg["ivf"]},
+        }
+    elif isinstance(ar, dict) and "error" in ar:
+        out["ann_recall"] = {"error": str(ar["error"])[:120]}
+    out["detail"] = "BENCH_FULL.json"
+    return out
 
 
 def _scaling_one(n_small: int, n_big: int, steady_pages: int,
-                 reps: int) -> dict:
+                 reps: int, substrate: str = "jvm") -> dict:
     """One N -> 4N level pair under the pair protocol (see _scaling)."""
     import subprocess
 
@@ -545,7 +646,8 @@ def _scaling_one(n_small: int, n_big: int, steady_pages: int,
     for i in range(reps):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scaling-pair",
-             str(steady_pages), str(n_small), str(n_big), str(i % 2)],
+             str(steady_pages), str(n_small), str(n_big), str(i % 2),
+             substrate],
             capture_output=True, text=True, timeout=3000, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         for line in out.stdout.splitlines():
@@ -565,9 +667,18 @@ def _scaling_one(n_small: int, n_big: int, steady_pages: int,
         ss = sorted(p[str(cores)]["sec"] for p in pairs)
         return ss[got // 2]
 
+    big_label = (f"local-cluster[4,{n_big // 4}] (4 executor JVMs)"
+                 if substrate == "multijvm" else f"local[{n_big}]")
     return {
-        "levels": f"local[{n_small}] -> local[{n_big}]",
+        "levels": f"local[{n_small}] -> {big_label}",
+        "substrate": substrate,
         "pages": steady_pages,
+        # plain-named duplicates of the dynamic local{N}_* keys so the
+        # compact final line can extract them without name arithmetic
+        "small_urls_per_sec": round(
+            sorted(p[str(n_small)]["urls_per_sec"] for p in pairs)[got // 2], 1),
+        "big_urls_per_sec": round(
+            sorted(p[str(n_big)]["urls_per_sec"] for p in pairs)[got // 2], 1),
         f"local{n_small}_sec": med_sec(n_small),
         f"local{n_big}_sec": med_sec(n_big),
         f"local{n_small}_urls_per_sec": round(
@@ -639,6 +750,12 @@ def _scaling() -> dict:
             "SPARK_GRAFT_SCALING_SEC_REPS", "3")))
         out["secondary_pair"] = _scaling_one(4, 16, steady_pages * 3,
                                              sec_reps)
+        # same pair with the 16-core level as FOUR executor JVMs
+        # (local-cluster[4,4]) — four Arrow allocators / shuffle managers,
+        # the sandbox-feasible test of "a real 4N-executor cluster
+        # multiplies the substrate" (VERDICT r3 ask #3)
+        out["secondary_pair_multijvm"] = _scaling_one(
+            4, 16, steady_pages * 3, sec_reps, substrate="multijvm")
     return out
 
 
@@ -650,6 +767,7 @@ if __name__ == "__main__":
         _steady_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-pair":
         _scaling_pair_worker(int(sys.argv[2]), int(sys.argv[3]),
-                             int(sys.argv[4]), sys.argv[5] == "0")
+                             int(sys.argv[4]), sys.argv[5] == "0",
+                             sys.argv[6] if len(sys.argv) > 6 else "jvm")
     else:
         main()

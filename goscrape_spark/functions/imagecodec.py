@@ -39,6 +39,13 @@ import numpy as np
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Average/Paeth unfiltering is inherently sequential in x and runs per-byte
+# in interpreted Python; None/Sub/Up rows are NumPy-vectorized.  A single
+# large photo PNG could otherwise pin an executor core for minutes, so the
+# vendored tier bails out (-> caller keeps original bytes, like any decode
+# failure) once the slow-filtered rows exceed this byte budget.
+_SLOW_FILTER_BYTE_CAP = 1 << 23      # 8 MB of Average/Paeth-filtered rows
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -52,7 +59,7 @@ def png_decode(data: bytes):
     """-> (H, W, 3) uint8 RGB array, or None if not decodable here."""
     if not data.startswith(_PNG_SIG):
         return None
-    pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
+    pos, ihdr, idat, plte, trns = len(_PNG_SIG), None, [], None, None
     try:
         while pos + 8 <= len(data):
             (length,), typ = struct.unpack(">I", data[pos:pos + 4]), \
@@ -63,6 +70,8 @@ def png_decode(data: bytes):
                 ihdr = struct.unpack(">IIBBBBB", chunk)
             elif typ == b"PLTE":
                 plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+            elif typ == b"tRNS":
+                trns = chunk
             elif typ == b"IDAT":
                 idat.append(chunk)
             elif typ == b"IEND":
@@ -79,30 +88,42 @@ def png_decode(data: bytes):
         if len(raw) < h * (stride + 1):
             return None
         out = np.zeros((h, stride), dtype=np.uint8)
-        prev = bytearray(stride)
+        prev = np.zeros(stride, dtype=np.uint32)
+        slow_budget = _SLOW_FILTER_BYTE_CAP
         p = 0
         for y in range(h):
             ftype = raw[p]
-            line = bytearray(raw[p + 1:p + 1 + stride])
+            cur = np.frombuffer(raw, np.uint8, stride, p + 1) \
+                .astype(np.uint32)
             p += 1 + stride
-            if ftype == 1:      # Sub
-                for i in range(ch, stride):
-                    line[i] = (line[i] + line[i - ch]) & 0xFF
-            elif ftype == 2:    # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
-            elif ftype == 3:    # Average
-                for i in range(stride):
-                    left = line[i - ch] if i >= ch else 0
-                    line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-            elif ftype == 4:    # Paeth
-                for i in range(stride):
-                    left = line[i - ch] if i >= ch else 0
-                    ul = prev[i - ch] if i >= ch else 0
-                    line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
-            elif ftype != 0:
+            if ftype == 0:
+                line = cur
+            elif ftype == 1:    # Sub: per-channel prefix sum (mod 256
+                                # distributes over the cumulative add)
+                line = cur.reshape(w, ch).cumsum(axis=0, dtype=np.uint32) \
+                    .reshape(-1) & 0xFF
+            elif ftype == 2:    # Up: fully parallel against the prior row
+                line = (cur + prev) & 0xFF
+            elif ftype in (3, 4):   # Average/Paeth: sequential in x
+                slow_budget -= stride
+                if slow_budget < 0:
+                    return None     # caller keeps the original bytes
+                lb = bytearray(int(v) for v in cur)
+                pb = prev            # uint32 ndarray, int() per access
+                if ftype == 3:
+                    for i in range(stride):
+                        left = lb[i - ch] if i >= ch else 0
+                        lb[i] = (lb[i] + ((left + int(pb[i])) >> 1)) & 0xFF
+                else:
+                    for i in range(stride):
+                        left = lb[i - ch] if i >= ch else 0
+                        ul = int(pb[i - ch]) if i >= ch else 0
+                        lb[i] = (lb[i] +
+                                 _paeth(left, int(pb[i]), ul)) & 0xFF
+                line = np.frombuffer(bytes(lb), np.uint8).astype(np.uint32)
+            else:
                 return None
-            out[y] = np.frombuffer(bytes(line), np.uint8)
+            out[y] = line.astype(np.uint8)
             prev = line
         px = out.reshape(h, w, ch)
         if ctype == 2:
@@ -112,7 +133,19 @@ def png_decode(data: bytes):
         if ctype == 3:
             if plte is None:
                 return None
-            return plte[px[:, :, 0]]
+            rgb = plte[px[:, :, 0]]
+            if trns:
+                # tRNS gives per-palette-entry alpha (entries beyond its
+                # length are opaque); premultiply onto black like the other
+                # alpha types so palette+transparency recodes match the
+                # reference's Go decode (which honors tRNS)
+                alpha = np.full(len(plte), 255, np.uint16)
+                tv = np.frombuffer(trns, np.uint8)[:len(plte)]
+                alpha[:len(tv)] = tv
+                a = alpha[px[:, :, 0]][:, :, None]
+                rgb = ((rgb.astype(np.uint16) * a + 127) // 255) \
+                    .astype(np.uint8)
+            return rgb
         # alpha types: premultiply onto black like Go's RGBA() view
         # (image/jpeg encodes the premultiplied channel values)
         if ctype == 4:

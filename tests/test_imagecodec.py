@@ -69,6 +69,64 @@ def test_png_all_filters_decode():
     assert (png_decode(png) == img).all()
 
 
+def _chunk(typ, payload):
+    return (struct.pack(">I", len(payload)) + typ + payload +
+            struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+
+def test_png_palette_trns_premultiplies():
+    """Palette PNG (color type 3) with a tRNS chunk: transparent entries
+    must premultiply onto black like the other alpha paths (the
+    reference's Go decode honors tRNS)."""
+    # palette: red, green, blue; tRNS: red opaque, green half, blue omitted
+    plte = bytes([255, 0, 0, 0, 200, 0, 0, 0, 250])
+    trns = bytes([255, 128])
+    idx = np.array([[0, 1, 2]], dtype=np.uint8)   # 1x3, one index per px
+    raw = b"\x00" + idx.tobytes()
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)) +
+           _chunk(b"PLTE", plte) + _chunk(b"tRNS", trns) +
+           _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = png_decode(png)
+    assert dec is not None
+    assert (dec[0, 0] == [255, 0, 0]).all()          # opaque
+    assert (dec[0, 1] == [0, 100, 0]).all()          # (200*128+127)//255
+    assert (dec[0, 2] == [0, 0, 250]).all()          # beyond tRNS -> opaque
+
+
+def test_png_slow_filter_cap_bails_out(monkeypatch):
+    """Average/Paeth rows beyond the per-image byte budget make the
+    vendored decoder return None (caller keeps original bytes) instead of
+    pinning an executor core in the per-byte Python loop."""
+    import goscrape_spark.functions.imagecodec as mod
+
+    img = _test_image(h=8, w=16, seed=5)
+    # filter every row with Paeth (type 4) via the encoder-side transform
+    ch, stride = 3, 16 * 3
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(8):
+        cur = img[y].reshape(-1).astype(int)
+        raw.append(4)
+        for i in range(stride):
+            left = int(cur[i - ch]) if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if pa <= pb and pa <= pc else \
+                (up if pb <= pc else ul)
+            raw.append((int(cur[i]) - pred) & 0xFF)
+        prev = list(cur)
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 8, 8, 2, 0, 0, 0)) +
+           _chunk(b"IDAT", zlib.compress(bytes(raw))) +
+           _chunk(b"IEND", b""))
+    assert (png_decode(png) == img).all()            # within budget: decodes
+    monkeypatch.setattr(mod, "_SLOW_FILTER_BYTE_CAP", stride * 4)
+    assert png_decode(png) is None                   # over budget: bail out
+
+
 def test_png_rgba_premultiplies_like_go():
     """Alpha composites onto black — what Go's image/jpeg sees through
     NRGBA.RGBA() in the reference's recodePNG path."""
