@@ -508,6 +508,138 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_status")
 
 
+# C10/C11 srcset golden: (case_id, srcset value); expected split candidates
+# and the reference's resolve-each-candidate rewrite (htmlindex/htmlindex.go
+# :158-173 split; scraper/html.go:153-165 rewrite, descriptors preserved,
+# re-joined with ', ').  Case 0 is the reference's own TestIndexImg srcset
+# (htmlindex/htmlindex_test.go:63).
+_SRCSET_CASES = [
+    (0, "test-480w.jpg 480w, test-800w.jpg 800w",
+     "test-480w.jpg|test-800w.jpg",
+     "test-480w.jpg 480w, test-800w.jpg 800w"),
+    (1, "test.jpg", "test.jpg", "test.jpg"),
+    (2, "a.png 1x,b.png 2x", "a.png|b.png", "a.png 1x, b.png 2x"),
+    (3, " spaced.jpg  2x , other.png ", "spaced.jpg|other.png",
+     "spaced.jpg  2x, other.png"),
+    (4, "/abs/img.jpg 100w, https://other.host/x.jpg 2x",
+     "/abs/img.jpg|https://other.host/x.jpg",
+     "abs/img.jpg 100w, _other.host/x.jpg 2x"),
+]
+
+# C12 CSS url() extraction golden — the reference's own TestCSSProcessor
+# fixtures (scraper/download_test.go:20-28), base http://localhost; the
+# data: URI case contributes zero rows (css/css.go:39-41).
+_CSS_EXTRACT_CASES = [
+    (0, "url('http://localhost/uri/between/single/quote')"),
+    (1, 'url("http://localhost/uri/between/double/quote")'),
+    (2, "url(http://localhost/uri)"),
+    (3, "url(data:image/gif;base64,R0lGODl)"),
+    (4, "div#gopher {\n\t\t\tbackground: url(/doc/gopher/frontpage.png) "
+        "no-repeat;\n\t\t\theight: 155px;\n\t\t\t}"),
+]
+
+_CSS_EXTRACT_EXPECT = [
+    (0, 0, "http://localhost/uri/between/single/quote"),
+    (1, 0, "http://localhost/uri/between/double/quote"),
+    (2, 0, "http://localhost/uri"),
+    (4, 0, "http://localhost/doc/gopher/frontpage.png"),
+]
+
+
+def q_srcset_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/C11: srcset split + rewrite against the golden table."""
+    from goscrape_spark.functions.urlmath import (
+        resolve_srcset_urls,
+        split_srcset,
+    )
+    from goscrape_spark.functions.urlnorm import GoURL
+
+    src = spark.createDataFrame(
+        [(c, v) for c, v, _, _ in _SRCSET_CASES],
+        "case_id int, srcset string")
+    base = GoURL(scheme="https", host="domain.com", path="/")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            yield pd.DataFrame({
+                "case_id": pdf["case_id"],
+                "candidates": ["|".join(split_srcset(v))
+                               for v in pdf["srcset"]],
+                "rewritten": [resolve_srcset_urls(base, v, "domain.com",
+                                                  False, "")
+                              for v in pdf["srcset"]]})
+
+    return src.mapInPandas(
+        run, schema="case_id int, candidates string, rewritten string")
+
+
+def q_css_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: CSS url() token extraction + resolve on the reference's own
+    TestCSSProcessor fixtures; data: URIs yield no rows."""
+    from goscrape_spark.functions.urlnorm import GoURL
+    from goscrape_spark.operators.cssx import css_extract
+
+    src = spark.createDataFrame(_CSS_EXTRACT_CASES,
+                                "case_id int, css string")
+    base = GoURL(scheme="http", host="localhost", path="/")
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            cids, ords, resolved = [], [], []
+            for cid, css in zip(pdf["case_id"], pdf["css"]):
+                for i, ref in enumerate(css_extract(css, base)):
+                    cids.append(cid)
+                    ords.append(i)
+                    resolved.append(ref.resolved)
+            yield pd.DataFrame({"case_id": cids, "ord": ords,
+                                "resolved": resolved})
+
+    return src.mapInPandas(run,
+                           schema="case_id int, ord int, resolved string")
+
+
+def _real_image_payloads() -> list[tuple[int, bytes]]:
+    """Deterministic PNG/JPEG payloads for the real-decode golden.  No RNG —
+    gradient formulas only, so the oracle regenerates identical bytes."""
+    import numpy as np
+
+    from goscrape_spark.functions.imagecodec import jpeg_encode, png_encode
+
+    y, x = np.mgrid[0:24, 0:32]
+    g1 = np.stack([(x * 7) % 256, (y * 11) % 256, ((x + y) * 5) % 256],
+                  axis=2).astype(np.uint8)
+    g2 = np.stack([np.full_like(x, 200), (x * 3) % 256, (y * 9) % 256],
+                  axis=2).astype(np.uint8)[:16, :16]
+    return [(0, png_encode(g1)),
+            (1, png_encode(g2)),
+            (2, jpeg_encode(g1, 80)),
+            (3, jpeg_encode(g2, 50)),
+            (4, b"\x89PNG\r\n\x1a\nbroken")]
+
+
+def q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19-adjacent real-decode tier: extract_media_features(decode='real')
+    over REAL PNG/JPEG bytes through the vendored codec — pixel statistics,
+    not hash stand-ins (operators/multimodal._image_feature)."""
+    from goscrape_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_fetched,
+    )
+
+    rows = [(f"img://{i}", bytearray(p)) for i, p in _real_image_payloads()]
+    fetched = spark.createDataFrame(rows, "url string, body binary")
+    feats = extract_media_features(media_from_fetched(fetched), dim=12,
+                                   decode="real")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.md5(F.concat_ws(",", F.transform(
+            F.col("feature"), lambda x: F.format_number(x, 4))))
+         .alias("feature_md5"),
+        "decode_status")
+
+
 def q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full epoch-synchronous crawl on the reference's TestScraperLinks
     fixture; returns the final seen table (golden: 4 keys)."""
@@ -557,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # but not SQL-expressible, so expected rows are precomputed
         # driver-side (_media_features_sql)
         "media_features": q_media_features,
+        "image_features_real": q_image_features_real,
+        "srcset_math": q_srcset_math,
+        "css_extract": q_css_extract,
     }
 
 
@@ -791,6 +926,38 @@ def _media_features_sql() -> str:
         rows, "media_id, kind, n_bytes, feature_md5, decode_status")
 
 
+def _image_features_real_sql() -> str:
+    """Golden-VALUES oracle for q_image_features_real: the expected rows are
+    recomputed driver-side in plain Python over the SAME deterministic
+    payloads (_real_image_payloads), replaying the pixel-statistics math and
+    Spark's format_number(float32, 4) rendering like _media_features_sql."""
+    import hashlib
+
+    import numpy as np
+
+    from goscrape_spark.functions.filetype import sniff_extension
+    from goscrape_spark.operators.multimodal import (
+        _fake_feature,
+        _image_feature,
+    )
+
+    image = {"jpg", "png", "gif", "webp", "bmp", "tif", "ico", "psd"}
+    rows = []
+    for i, raw in _real_image_payloads():
+        kind = "image" if sniff_extension(raw) in image else "binary"
+        feat, status = None, "stub"
+        if kind == "image":
+            feat = _image_feature(raw, 12)
+            status = "real" if feat is not None else "undecodable"
+        if feat is None:
+            feat = _fake_feature(raw, 12)
+        s = ",".join(f"{float(np.float32(v)):.4f}" for v in feat)
+        rows.append((f"img://{i}", kind, len(raw),
+                     hashlib.md5(s.encode()).hexdigest(), status))
+    return _golden_values_sql(
+        rows, "media_id, kind, n_bytes, feature_md5, decode_status")
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = {lang: (f"len(list_filter(ws, w -> list_contains("
                         f"{_sql_list(ws)}, w)))")
@@ -954,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
             [("/",), ("/page2",), ("/sub",), ("/style.css",)], "dedup_key"),
 
         "media_features": _media_features_sql(),
+
+        "image_features_real": _image_features_real_sql(),
+
+        "srcset_math": _golden_values_sql(
+            [(c, cand, rw) for c, _, cand, rw in _SRCSET_CASES],
+            "case_id, candidates, rewritten"),
+
+        "css_extract": _golden_values_sql(
+            _CSS_EXTRACT_EXPECT, "case_id, ord, resolved"),
 
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

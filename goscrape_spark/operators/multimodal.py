@@ -3,11 +3,13 @@
 Media payloads are opaque ``binary`` columns with typed metadata structs —
 the 100 TB-scale representation (payload stays columnar, metadata prunable).
 Decode / feature-extract / resize / frame-sample run as ``mapInPandas`` over
-Arrow batches; the actual codec calls are STUBBED here (Pillow/librosa/ffmpeg
-are not in this container): ``decode='real'`` raises NotImplementedError at
-the decode call site, ``decode='fake'`` produces a deterministic hash-derived
-feature vector so the Spark-side plumbing — schema, partitioning, batch
-shape, UDF signatures — is real and tested end to end.
+Arrow batches.  ``decode='real'`` decodes IMAGE payloads for real through
+the vendored PNG/JPEG codec (functions/imagecodec, pure NumPy); audio and
+video feature/frame decode remain stubbed (librosa/ffmpeg are not in this
+container) and fall back to the deterministic hash-derived features with an
+honest ``decode_status``.  ``decode='fake'`` hash-features every kind so
+the Spark-side plumbing — schema, partitioning, batch shape, UDF
+signatures — is testable without any codec.
 
 Schema:
     media(media_id string, kind string, payload binary,
@@ -61,13 +63,47 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return out
 
 
+def _image_feature(payload: bytes, dim: int) -> list[float] | None:
+    """REAL pixel features for PNG/JPEG payloads via the vendored codec
+    (functions/imagecodec, pure NumPy from the public RFC 2083 / ITU T.81
+    specs).  Layout: [mean RGB/255 (3), std RGB/255 (3), height, width,
+    then a (dim-8)-bin normalized luminance histogram].  Returns None when
+    the payload isn't decodable here (caller falls back + marks status)."""
+    import numpy as np
+
+    from ..functions.imagecodec import jpeg_decode, png_decode
+
+    img = None
+    if payload.startswith(b"\x89PNG"):
+        img = png_decode(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        img = jpeg_decode(payload)
+    if img is None:
+        return None
+    px = img.astype(np.float64)
+    h, w = img.shape[:2]
+    feats = list(px.mean(axis=(0, 1)) / 255.0) + \
+        list(px.std(axis=(0, 1)) / 255.0) + [float(h), float(w)]
+    nbins = dim - len(feats)
+    if nbins > 0:
+        lum = px @ np.array([0.299, 0.587, 0.114])
+        hist, _ = np.histogram(lum, bins=nbins, range=(0.0, 256.0))
+        feats += list(hist / lum.size)
+    return [float(x) for x in feats[:dim]]
+
+
 def extract_media_features(media: DataFrame, dim: int = 16,
                            decode: str = "fake") -> DataFrame:
     """Arrow-batched decode + feature extraction.
 
-    decode='real' marks where Pillow/librosa/ffmpeg would run — it raises
-    NotImplementedError (libs absent in this container).  decode='fake'
-    exercises the identical dataflow with deterministic features."""
+    decode='real': image payloads decode through the vendored PNG/JPEG
+    codec and yield REAL pixel statistics (status 'real'; operators/
+    images.py prefers PIL upstream when importable); images the vendored
+    tier can't decode fall back to the hash features with status
+    'undecodable'; audio/video stay hash-featured with status 'stub' —
+    librosa/ffmpeg are absent from this container, and that is where a
+    real deployment plugs them in.  decode='fake' exercises the identical
+    dataflow with deterministic hash features for every kind."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -82,13 +118,18 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                 ids.append(mid)
                 kinds.append(kind)
                 sizes.append(len(raw))
-                if decode == "real":
-                    # Real path: PIL.Image.open(io.BytesIO(raw)) / librosa /
-                    # ffmpeg frame sampling — not available in this sandbox.
-                    raise NotImplementedError(
-                        "real media decoding requires Pillow/librosa/ffmpeg")
-                feats.append(_fake_feature(raw, dim))
-                status.append("fake")
+                if decode == "real" and kind == "image":
+                    f = _image_feature(raw, dim)
+                    feats.append(f if f is not None
+                                 else _fake_feature(raw, dim))
+                    status.append("real" if f is not None
+                                  else "undecodable")
+                elif decode == "real":
+                    feats.append(_fake_feature(raw, dim))
+                    status.append("stub")
+                else:
+                    feats.append(_fake_feature(raw, dim))
+                    status.append("fake")
             yield pd.DataFrame({"media_id": ids, "kind": kinds,
                                 "n_bytes": sizes, "feature": feats,
                                 "decode_status": status})

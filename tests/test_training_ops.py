@@ -176,6 +176,27 @@ def test_multimodal_plumbing(spark):
     feats2 = extract_media_features(media, dim=8).collect()
     assert {r.media_id: tuple(r.feature) for r in feats} == \
            {r.media_id: tuple(r.feature) for r in feats2}
-    import pytest as _pt
-    with _pt.raises(Exception):
-        extract_media_features(media, dim=8, decode="real").collect()
+    # decode='real': decodable images get REAL pixel statistics through the
+    # vendored codec; undecodable "images" and non-images degrade honestly
+    import numpy as np
+
+    from goscrape_spark.functions.imagecodec import png_encode
+
+    grad = np.zeros((4, 8, 3), np.uint8)
+    grad[:, :, 0] = 200     # constant red plane
+    grad[:, :, 1] = np.arange(8, dtype=np.uint8) * 30
+    rows = [("img_ok", bytearray(png_encode(grad))),
+            ("img_bad", bytearray(b"\x89PNG\r\n\x1a\ntruncated")),
+            ("txt", bytearray(b"plain text"))]
+    media2 = media_from_fetched(
+        spark.createDataFrame(rows, "url string, body binary"))
+    real = {r.media_id: r for r in
+            extract_media_features(media2, dim=10,
+                                   decode="real").collect()}
+    assert real["img_ok"].decode_status == "real"
+    assert real["img_bad"].decode_status == "undecodable"
+    assert real["txt"].decode_status == "stub"
+    f = real["img_ok"].feature
+    assert abs(f[0] - 200 / 255) < 1e-6          # mean R
+    assert abs(f[1] - 105 / 255) < 1e-6          # mean G of 0,30,..210
+    assert f[6] == 4.0 and f[7] == 8.0           # height, width
