@@ -62,14 +62,22 @@ def _crawl_once(spark, n_pages: int, job_group: str | None = None) -> dict:
     sc = spark.sparkContext
     if job_group:
         sc.setJobGroup(job_group, "bench crawl", False)
+    timing = os.environ.get("GOSCRAPE_TIMING", "") == "1"
     t0 = time.time()
     res = crawl(spark, CrawlConfig(url=seed_url()), pages)
+    t_loop = time.time()
     n_fetches = res.fetch_log.count()
+    t_log = time.time()
     n_seen = res.seen.count()
+    t_seen = time.time()
     # materialize the rewritten output table too — rewrite is a hot-path
     # stage (★ C4-C18) and must count toward throughput
     res.output.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
+    if timing:
+        print(f"    crawl phases: loop={t_loop - t0:.2f}s "
+              f"fetch_log={t_log - t_loop:.2f}s seen={t_seen - t_log:.2f}s "
+              f"output={time.time() - t_seen:.2f}s", flush=True)
     out = {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
            "epochs": res.epochs,
            "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}

@@ -41,8 +41,19 @@ def global_sequence(df: DataFrame, order_cols: list[str], start: int = 0,
                     out_col: str = "seq", parts: int | None = None) -> DataFrame:
     """Append ``out_col`` = start, start+1, ... in the total order of
     ``order_cols`` (which must be unique per row for determinism)."""
+    return global_sequence_with_total(df, order_cols, start, out_col,
+                                      parts)[0]
+
+
+def global_sequence_with_total(
+        df: DataFrame, order_cols: list[str], start: int = 0,
+        out_col: str = "seq",
+        parts: int | None = None) -> tuple[DataFrame, int | None]:
+    """global_sequence plus the row count when the scalable path already
+    collected it (its per-partition offsets sum to the total, so callers
+    can skip a separate count() action); None on the small window path."""
     if parts is None or parts < SCALABLE_MIN_PARTS:
-        return _window_sequence(df, order_cols, start, out_col)
+        return _window_sequence(df, order_cols, start, out_col), None
 
     ranged = (df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
               .sortWithinPartitions(*order_cols)
@@ -73,4 +84,4 @@ def global_sequence(df: DataFrame, order_cols: list[str], start: int = 0,
             local += len(pdf)
             yield out
 
-    return ranged.mapInPandas(run, schema=schema)
+    return ranged.mapInPandas(run, schema=schema), acc - start

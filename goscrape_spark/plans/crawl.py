@@ -113,6 +113,12 @@ class Crawler:
                 F.coalesce(F.col("retry_after"), F.lit(0)).alias("retry_after"))
         self.use_bloom = use_bloom
         self.bloom = None  # set in run()
+        # body-free fixture metadata (built lazily): per-epoch status joins
+        # broadcast this instead of shuffling/sorting the body-bearing
+        # fixture; see _pages_slim
+        self._pages_slim_df: DataFrame | None = None
+        self._pages_count: int | None = None
+        self._n_frontier = 0
         self.robots = None
         if config.robots_rules:
             from ..operators.politeness import robots_rules_df
@@ -194,6 +200,7 @@ class Crawler:
             if n_frontier == 0:
                 break
             self._live_fetch_cache = None  # css-fetch cache is per-epoch
+            self._n_frontier = n_frontier  # gates the broadcast mock plan
 
             # Adaptive parallelism, sized by DATA not cores: shuffle stages
             # in the loop move small metadata rows, so partition counts
@@ -209,11 +216,24 @@ class Crawler:
             frontier = frontier.repartition(parts, "url")
 
             fetched = self._fetch(frontier, epoch)
-            fetched = self._localckpt(fetched, "fetched")
-            if epoch == 0:
-                fetched = self._rebase_seed(fetched)
+            if self.live or epoch == 0:
+                # live: the checkpoint pins real network side effects (one
+                # GET per URL).  epoch 0: one row; the depth-0 redirect
+                # rebase (first()) needs a materialized frame.
+                fetched = self._localckpt(fetched, "fetched")
+                if epoch == 0:
+                    fetched = self._rebase_seed(fetched)
+                fetched_meta = fetched
+            else:
+                # mock: fetch outcomes are a pure fixture join — checkpoint
+                # only the body-FREE metadata (log/meta consumers) and let
+                # bodies flow lazily so each body is materialized once per
+                # epoch (inside the processed checkpoint below), not twice
+                fetched_meta = self._localckpt(fetched.drop("body"),
+                                               "fetched_meta")
 
             pages_ok = fetched.filter(F.col("status") == "ok")
+            pages_ok_meta = fetched_meta.filter(F.col("status") == "ok")
             # FUSED per-page Arrow pass (operators/extract.process_pages_df):
             # media-ref extraction + binary sniff + offline rewrite + output
             # path in ONE stage, so each body crosses the JVM->Python
@@ -235,7 +255,7 @@ class Crawler:
             spans = (processed.select("url", F.explode("refs").alias("r"))
                      .select("url", "r.*"))
 
-            page_meta = pages_ok.select(
+            page_meta = pages_ok_meta.select(
                 F.col("page_url"), F.col("seq").alias("parent_seq"),
                 F.col("depth"))
             full_spans = extract_spans_df(page_bodies, include_text=True)
@@ -247,8 +267,12 @@ class Crawler:
 
             # file paths the ok pages of this epoch write (the "filesystem
             # state" the fileExists check consults, download.go:76-79) fall
-            # out of the fused pass for free
-            page_paths = processed.select("file_path", "seq")
+            # out of the fused pass for free.  Slim checkpoint: the several
+            # consumers (blockers union, first-ok agg, written delta) would
+            # otherwise each re-scan the body-bearing processed blocks to
+            # project two tiny columns.
+            page_paths = self._localckpt(
+                processed.select("file_path", "seq"), "page_paths")
 
             candidates = self._base_candidates(spans, page_meta)
 
@@ -269,7 +293,7 @@ class Crawler:
                                    * F.lit(cfg.politeness_delay_ms))
             else:
                 page_not_before = F.lit(0).cast("long")
-            page_log = fetched.select(
+            page_log = fetched_meta.select(
                 F.col("req_url").alias("url"), F.lit("page").alias("kind"),
                 page_not_before.alias("not_before_ms"),
                 F.col("status"), F.col("attempts"),
@@ -319,15 +343,19 @@ class Crawler:
             # next frontier: page survivors ordered by the composite key
             # (W2).  global_sequence range-partitions + offsets instead of a
             # single-task global window once the epoch is wide enough.
-            from ..operators.ranking import global_sequence
-            next_pages = global_sequence(
+            from ..operators.ranking import global_sequence_with_total
+            seq_df, seq_total = global_sequence_with_total(
                 survivors.filter(~F.col("is_asset"))
                          .select("url", "depth", *ORDER_COLS),
                 ORDER_COLS, start=next_seq, out_col="seq",
-                parts=parts).select(
-                    "url", (F.col("depth") + 1).alias("depth"), "seq")
+                parts=parts)
+            next_pages = seq_df.select(
+                "url", (F.col("depth") + 1).alias("depth"), "seq")
             next_pages = self._localckpt(next_pages, "next_pages")
-            n_next = next_pages.count()
+            # the scalable sequence pass already counted its partitions —
+            # reuse instead of an extra count() job
+            n_next = seq_total if seq_total is not None \
+                else next_pages.count()
             next_seq += n_next
             frontier = next_pages
             n_frontier = n_next
@@ -451,7 +479,31 @@ class Crawler:
                     (d["domain"], d["path"], d["name"])] = d
             return fetched.drop("set_cookies")
         maxr = self.config.max_retries
+        if self._mock_broadcastable():
+            # Broadcast plan: the frontier/asset url set is the SMALL side,
+            # but outer joins can only broadcast the build (non-preserved)
+            # side — so split into an inner join (bodies stream past a
+            # broadcast hash of the urls, no shuffle or sort of the
+            # body-bearing fixture) plus an anti-join for fixture misses
+            # against the body-free slim table.  Saves a full sort of the
+            # ~GB fixture per epoch; the legacy shuffle plan remains the
+            # fallback for oversized url sets.
+            hit = self.pages.join(F.broadcast(urls.select("url")),
+                                  on="url", how="inner")
+            hit_f = self._mock_fetch_select(hit, maxr)
+            miss = urls.select("url").join(
+                F.broadcast(self._pages_slim().select("url")),
+                on="url", how="left_anti")
+            miss_f = miss.select(
+                F.col("url"), F.lit(None).cast("binary").alias("body"),
+                F.col("url").alias("resp_url"),
+                F.lit("missing").alias("status"), F.lit(1).alias("attempts"))
+            return hit_f.unionByName(miss_f)
         joined = urls.select("url").join(self.pages, on="url", how="left")
+        return self._mock_fetch_select(joined, maxr)
+
+    @staticmethod
+    def _mock_fetch_select(joined: DataFrame, maxr: int) -> DataFrame:
         return joined.select(
             F.col("url"),
             F.when(F.col("retry_after") <= maxr, F.col("body")).alias("body"),
@@ -464,9 +516,53 @@ class Crawler:
              .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
              .alias("attempts"))
 
+    # frontier rows above this fall back from the broadcast mock-fetch plan
+    # to the co-partitioned shuffle join (a broadcast hash of the epoch's
+    # url set must fit comfortably in every executor)
+    MOCK_BROADCAST_MAX = 2_000_000
+
+    def _mock_broadcastable(self) -> bool:
+        return (not self.live
+                and self._n_frontier <= self.MOCK_BROADCAST_MAX
+                and self._pages_rows() <= 5_000_000)
+
+    def _pages_slim(self) -> DataFrame:
+        """(url, has_body, retry_after): body-free fixture metadata,
+        checkpointed once per crawl — per-epoch status joins broadcast this
+        tiny table instead of re-reading body-bearing fixture blocks."""
+        if self._pages_slim_df is None:
+            self._pages_slim_df = self.pages.select(
+                "url", F.col("body").isNotNull().alias("has_body"),
+                "retry_after").localCheckpoint(eager=True)
+        return self._pages_slim_df
+
+    def _pages_rows(self) -> int:
+        if self._pages_count is None:
+            self._pages_count = self._pages_slim().count()
+        return self._pages_count
+
+    def _mock_status(self, urls: DataFrame) -> DataFrame:
+        """(url, status) for mock mode WITHOUT touching body blocks — the
+        fileExists collision check needs outcomes only."""
+        maxr = self.config.max_retries
+        j = urls.join(F.broadcast(self._pages_slim()), on="url", how="left")
+        return j.select(
+            "url",
+            F.when(~F.coalesce(F.col("has_body"), F.lit(False)),
+                   F.lit("missing"))
+             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
+             .otherwise(F.lit("ok")).alias("status"))
+
     def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
         fetched = self._do_fetch(frontier.select("url"))
-        joined = frontier.join(fetched, on="url", how="left")
+        if (not self.live) and self._mock_broadcastable():
+            # fetched covers exactly the frontier's url set (hit + miss
+            # partition it), so the meta attach is an inner join and the
+            # small frontier side can be the broadcast build
+            joined = fetched.join(F.broadcast(frontier), on="url",
+                                  how="inner")
+        else:
+            joined = frontier.join(fetched, on="url", how="left")
         return joined.select(
             F.col("url").alias("req_url"),
             F.col("url").alias("page_url"), F.col("body"),
@@ -671,7 +767,10 @@ class Crawler:
         the first-considered candidate per path and defers the rest;
         ``_fetch_assets`` re-admits deferred candidates whose predecessors
         all failed (the sequential chain, one wave per failure depth)."""
-        aw = self._with_asset_paths(assets)
+        # checkpoint: aw feeds three consumers (dup agg, anti, semi) — the
+        # C8 path expressions + Python fallback union would otherwise
+        # recompute per consumer
+        aw = self._localckpt(self._with_asset_paths(assets), "asset_paths")
         pos = self._pos()
         page_w = page_paths.select("file_path", self._page_pos().alias("pos"))
 
@@ -690,8 +789,14 @@ class Crawler:
         cand = aw.join(blockers, "file_path", "left_semi")
 
         if not self.live:
-            st = (self._do_fetch(cand.select("url").distinct())
-                  .select("url", "status", "attempts"))
+            cand_urls = cand.select("url").distinct()
+            if self._pages_rows() <= 5_000_000:
+                # status-only outcome via the body-free slim table — the
+                # collision check never needs the payload bytes
+                st = self._mock_status(cand_urls)
+            else:
+                st = (self._do_fetch(cand_urls)
+                      .select("url", "status", "attempts"))
             cs = (cand.join(st, on="url", how="left")
                   .withColumn("_st",
                               F.coalesce(F.col("status"), F.lit("missing")))

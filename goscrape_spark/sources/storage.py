@@ -50,7 +50,10 @@ class CrawlCheckpoint:
         frontier.write.mode("overwrite").parquet(os.path.join(tmp, "frontier"))
         seen_delta.write.mode("overwrite").parquet(os.path.join(tmp, "seen_delta"))
         if written_delta is not None:
-            written_delta.write.mode("overwrite").parquet(
+            # the in-epoch union can repeat a path (page + asset writers);
+            # dedup before persisting so resumed `written` state doesn't
+            # grow with epoch count
+            written_delta.distinct().write.mode("overwrite").parquet(
                 os.path.join(tmp, "written_delta"))
         m = dict(metrics or {})
         # callers that already counted these frames pass the numbers in the

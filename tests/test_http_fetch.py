@@ -121,3 +121,57 @@ def test_http_fetch_proxy_routing(spark, server):
         assert proxied == [target]  # absolute URL = proxied request
     finally:
         psrv.shutdown()
+
+
+def test_politeness_spacing_measured_per_host(spark):
+    """J5 timing, asserted from the WIRE: under concurrent multi-host fetch
+    with politeness_delay_ms, consecutive requests to the same host must be
+    spaced >= the delay (the reference sleeps between requests,
+    scraper/scraper.go:165-172); distinct hosts run concurrently and are
+    not cross-delayed."""
+    import time
+
+    stamps: dict[int, list[float]] = {}
+
+    def make_server():
+        class TimedHandler(BaseHTTPRequestHandler):
+            def do_GET(self):
+                stamps.setdefault(self.server.server_port, []) \
+                    .append(time.monotonic())
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(b"<html>ok</html>")
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), TimedHandler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    s1, s2 = make_server(), make_server()
+    try:
+        delay_ms = 300
+        urls = [(f"http://127.0.0.1:{s.server_port}/p{i}",)
+                for s in (s1, s2) for i in range(4)]
+        frontier = spark.createDataFrame(urls, "url string") \
+            .repartition(4)
+        cfg = CrawlConfig(url=f"http://127.0.0.1:{s1.server_port}",
+                          politeness_delay_ms=delay_ms)
+        rows = http_fetch_df(frontier, cfg).collect()
+        assert all(r.status == "ok" for r in rows)
+        for port in (s1.server_port, s2.server_port):
+            ts = sorted(stamps[port])
+            assert len(ts) == 4
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            # sleep() guarantees AT LEAST the delay; allow 20ms scheduling
+            # slack below it, nothing above
+            assert all(g >= delay_ms / 1000 - 0.02 for g in gaps), gaps
+        # the two hosts' batches overlapped (politeness is per-host, not
+        # global): total wall span << strictly-serialized 8 * delay
+        all_ts = sorted(stamps[s1.server_port] + stamps[s2.server_port])
+        assert all_ts[-1] - all_ts[0] < 7 * delay_ms / 1000
+    finally:
+        s1.shutdown()
+        s2.shutdown()
