@@ -303,6 +303,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph: the
+    canonical-representative assignment a dedup pipeline keeps
+    (operators/dedup.near_dup_clusters, min-label propagation)."""
+    from goscrape_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.2)
+    return near_dup_clusters(pairs)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified corpus sampling: downsample dominant
+    languages, keep the tail at a floor rate (operators/sampling)."""
+    from goscrape_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", {"en": 0.5, "es": 0.25},
+                             default_rate=0.1)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.similarity import cosine_topk
 
@@ -692,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_real": q_image_features_real,
         "srcset_math": q_srcset_math,
         "css_extract": q_css_extract,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -958,6 +983,21 @@ def _image_features_real_sql() -> str:
         rows, "media_id, kind, n_bytes, feature_md5, decode_status")
 
 
+def _stratified_sample_sql() -> str:
+    """Mirror of q_stratified_sample: the 8-hex-char md5 bucket compares
+    identically as a string in both engines (fixed-width lowercase hex
+    orders numerically)."""
+    from goscrape_spark.operators.sampling import rate_threshold_hex
+
+    en, es = rate_threshold_hex(0.5), rate_threshold_hex(0.25)
+    dft = rate_threshold_hex(0.1)
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+          CASE lang WHEN 'en' THEN '{en}' WHEN 'es' THEN '{es}'
+               ELSE '{dft}' END"""
+
+
 def oracle_sql() -> dict[str, str]:
     stop_hits = {lang: (f"len(list_filter(ws, w -> list_contains("
                         f"{_sql_list(ws)}, w)))")
@@ -1130,6 +1170,41 @@ def oracle_sql() -> dict[str, str]:
 
         "css_extract": _golden_values_sql(
             _CSS_EXTRACT_EXPECT, "case_id, ord, resolved"),
+
+        # transitive closure of the ngram near-dup pair graph; min
+        # reachable id = cluster representative (mirrors min-label
+        # propagation's fixpoint)
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SQL_AUG},
+            w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM aug),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(list_transform(
+                range(1, len(ws)-1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+              FROM w),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id1, id2
+              FROM inter JOIN sizes sa ON sa.doc_id = id1
+                         JOIN sizes sb ON sb.doc_id = id2
+              WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.2),
+            edges AS (
+              SELECT id1 AS a, id2 AS b FROM pairs
+              UNION SELECT id2, id1 FROM pairs),
+            reach(node, label) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node""",
+
+        "stratified_sample": _stratified_sample_sql(),
 
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

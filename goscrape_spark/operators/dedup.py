@@ -293,3 +293,47 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                 "hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id1", "id2", "hamming"))
+
+
+def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
+                      max_iter: int = 30) -> DataFrame:
+    """Connected components over a near-dup pair list: ``(doc_id,
+    cluster_id)`` with ``cluster_id`` = the smallest doc id reachable
+    through the pair graph (the canonical representative a dedup pipeline
+    keeps).
+
+    Min-label propagation, the standard distributed CC shape: per round,
+    every node takes the min of its own label and its neighbors' labels —
+    one keyed shuffle join + aggregate per round, converging in
+    O(graph diameter) rounds (near-dup graphs are unions of small dense
+    clusters, so diameter is tiny).  Each round's labels are
+    localCheckpointed to truncate the iterative lineage; convergence is a
+    1-row existence probe (``limit(1).count()``), not a collect.
+    """
+    e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
+    edges = (e.unionByName(e.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["b"] == labels["node"])
+                 .groupBy("a").agg(F.min("label").alias("nl")))
+        new_labels = (labels.join(neigh, labels["node"] == neigh["a"],
+                                  "left")
+                      .select(labels["node"],
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nl"),
+                                                 labels["label"]))
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

@@ -200,3 +200,47 @@ def test_multimodal_plumbing(spark):
     assert abs(f[0] - 200 / 255) < 1e-6          # mean R
     assert abs(f[1] - 105 / 255) < 1e-6          # mean G of 0,30,..210
     assert f[6] == 4.0 and f[7] == 8.0           # height, width
+
+
+def test_near_dup_clusters_small_graph(spark):
+    """Chain a-b-c plus isolated pair d-e: two components, min-id labels."""
+    from goscrape_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id1 bigint, id2 bigint")
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_long_chain_converges(spark):
+    """A 12-node path needs ~diameter rounds — label propagation must keep
+    iterating past round 1 and still produce one component."""
+    from goscrape_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id1 bigint, id2 bigint")
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert set(out) == set(range(13))
+    assert set(out.values()) == {0}
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from goscrape_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 == 0 else "fr") for i in range(3000)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    s1 = {r.doc_id for r in
+          stratified_sample(d, "lang", {"en": 0.5}, 0.1).collect()}
+    s2 = {r.doc_id for r in
+          stratified_sample(d, "lang", {"en": 0.5}, 0.1).collect()}
+    assert s1 == s2                       # deterministic, no RNG state
+    # raising a rate yields a SUPERSET (monotone growth of the mix)
+    s3 = {r.doc_id for r in
+          stratified_sample(d, "lang", {"en": 0.8}, 0.1).collect()}
+    assert s1 <= s3
+    # measured rates are near nominal
+    en = [i for i, lang in rows if lang == "en"]
+    fr = [i for i, lang in rows if lang == "fr"]
+    en_rate = len(s1 & set(en)) / len(en)
+    fr_rate = len(s1 & set(fr)) / len(fr)
+    assert abs(en_rate - 0.5) < 0.06 and abs(fr_rate - 0.1) < 0.04
