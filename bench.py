@@ -413,7 +413,8 @@ def _sf_queries(spark) -> dict[str, float]:
              "per_host_metrics", "exact_dedup", "token_counts", "lang_id",
              "quality_score", "fingerprint", "minhash_lsh", "simhash",
              "cosine_topk", "embedding_near_dup", "politeness_schedule",
-             "retry_backoff", "media_features"]
+             "retry_backoff", "media_features", "dedup_clusters",
+             "stratified_sample"]
     queries = entry_mod.queries()
     out = {}
     for name in names:
