@@ -303,6 +303,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_aug_docs(spark, sf_dir), threshold=0.2)
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition a training-data prep job runs:
+    quality filter → exact-dedup keep-first → stratified sample.  Every
+    stage is an already-oracle-checked operator; this verifies the
+    COMPOSITION (filters commute with dedup representative choice, sample
+    applies to survivors only)."""
+    from goscrape_spark.operators.dedup import exact_dedup_keep_first
+    from goscrape_spark.operators.sampling import stratified_sample
+    from goscrape_spark.operators.textops import quality_score
+
+    d = _docs(spark, sf_dir)
+    scored = (d.withColumn("quality", quality_score(F.col("text")))
+              .filter(F.col("quality") >= 0.5))
+    kept = exact_dedup_keep_first(scored)
+    sampled = stratified_sample(kept, "lang", {"en": 0.5},
+                                default_rate=0.25)
+    return sampled.select("doc_id", "lang", "quality")
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the exact near-dup pair graph: the
     canonical-representative assignment a dedup pipeline keeps
@@ -717,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "css_extract": q_css_extract,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -983,6 +1003,39 @@ def _image_features_real_sql() -> str:
         rows, "media_id, kind, n_bytes, feature_md5, decode_status")
 
 
+def _corpus_pipeline_sql(stop_hits_en: str) -> str:
+    """Mirror of q_corpus_pipeline: the same quality CTE as the
+    quality_score oracle, QUALIFY keep-first dedup, hex-bucket sample."""
+    from goscrape_spark.operators.sampling import rate_threshold_hex
+
+    en, dft = rate_threshold_hex(0.5), rate_threshold_hex(0.25)
+    return f"""
+        WITH {_SQL_WORDS}, m AS (
+          SELECT d.doc_id, d.lang, d.text, length(d.text) AS nc,
+            (CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(w.ws) END) AS nw,
+            len(regexp_extract_all(d.text, '[.,;:!?]')) AS np,
+            {stop_hits_en} AS sh
+          FROM documents d JOIN w ON w.doc_id = d.doc_id),
+        scored AS (
+          SELECT doc_id, lang, text, round((
+              (CASE WHEN nc >= 50 AND nc <= 20000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN np / greatest(nw, 1) <= 0.3
+                    THEN 1.0 - np / greatest(nw, 1) ELSE 0.0 END) +
+              least(sh * 4.0 / greatest(nw, 1), 1.0) +
+              (CASE WHEN nc / greatest(nw, 1) >= 3 AND nc / greatest(nw, 1) <= 12
+                    THEN 1.0 ELSE 0.0 END)
+            ) / 4, 4) AS quality
+          FROM m),
+        filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
+        kept AS (
+          SELECT * FROM filtered
+          QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1)
+        SELECT doc_id, lang, quality FROM kept
+        WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+          CASE lang WHEN 'en' THEN '{en}' ELSE '{dft}' END"""
+
+
 def _stratified_sample_sql() -> str:
     """Mirror of q_stratified_sample: the 8-hex-char md5 bucket compares
     identically as a string in both engines (fixed-width lowercase hex
@@ -1205,6 +1258,8 @@ def oracle_sql() -> dict[str, str]:
             FROM reach GROUP BY node""",
 
         "stratified_sample": _stratified_sample_sql(),
+
+        "corpus_pipeline": _corpus_pipeline_sql(stop_hits["en"]),
 
         "cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),

@@ -414,7 +414,7 @@ def _sf_queries(spark) -> dict[str, float]:
              "quality_score", "fingerprint", "minhash_lsh", "simhash",
              "cosine_topk", "embedding_near_dup", "politeness_schedule",
              "retry_backoff", "media_features", "dedup_clusters",
-             "stratified_sample"]
+             "stratified_sample", "corpus_pipeline"]
     queries = entry_mod.queries()
     out = {}
     for name in names:
