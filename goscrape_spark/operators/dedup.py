@@ -314,8 +314,12 @@ def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
                                     F.col("a").alias("b")))
              .distinct().localCheckpoint(eager=True))
-    labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
+    # round-0 fold: every node starts at min(self, neighbors) — one full
+    # propagation round cheaper than the identity initialization, same
+    # fixpoint (labels only ever decrease toward the component min)
+    labels = (edges.groupBy("a").agg(F.min("b").alias("_nb"))
+              .select(F.col("a").alias("node"),
+                      F.least(F.col("a"), F.col("_nb")).alias("label"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["node"])
