@@ -756,6 +756,43 @@ aug AS (
   FROM documents WHERE doc_id < 30
 )"""
 
+# shared by the ngram_jaccard and dedup_clusters oracles: shingle sets,
+# sizes, and pairwise intersections over the augmented-truncation table
+_NGRAM_CTES = """
+            w AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM aug),
+            sh AS (
+              SELECT DISTINCT doc_id, unnest(list_transform(
+                range(1, len(ws)-1),
+                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+              FROM w),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)"""
+
+# shared by the quality_score and corpus_pipeline oracles
+_QUALITY_EXPR = """round((
+                (CASE WHEN nc >= 50 AND nc <= 20000 THEN 1.0 ELSE 0.0 END) +
+                (CASE WHEN np / greatest(nw, 1) <= 0.3
+                      THEN 1.0 - np / greatest(nw, 1) ELSE 0.0 END) +
+                least(sh * 4.0 / greatest(nw, 1), 1.0) +
+                (CASE WHEN nc / greatest(nw, 1) >= 3 AND nc / greatest(nw, 1) <= 12
+                      THEN 1.0 ELSE 0.0 END)
+              ) / 4, 4)"""
+
+
+def _quality_m_cte(stop_hits_en: str, extra_cols: str = "") -> str:
+    return f"""m AS (
+              SELECT d.doc_id,{extra_cols} length(d.text) AS nc,
+                (CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(w.ws) END) AS nw,
+                len(regexp_extract_all(d.text, '[.,;:!?]')) AS np,
+                {stop_hits_en} AS sh
+              FROM documents d JOIN w ON w.doc_id = d.doc_id)"""
+
+
 # first-7-hex-chars-of-md5 -> 28-bit integer (mirrors
 # conv(substring(md5(s),1,7),16,10) in operators/dedup._minhash_sig)
 _HEX7 = ("list_reduce(list_transform(range(1, 8), i -> "
@@ -1010,21 +1047,9 @@ def _corpus_pipeline_sql(stop_hits_en: str) -> str:
 
     en, dft = rate_threshold_hex(0.5), rate_threshold_hex(0.25)
     return f"""
-        WITH {_SQL_WORDS}, m AS (
-          SELECT d.doc_id, d.lang, d.text, length(d.text) AS nc,
-            (CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(w.ws) END) AS nw,
-            len(regexp_extract_all(d.text, '[.,;:!?]')) AS np,
-            {stop_hits_en} AS sh
-          FROM documents d JOIN w ON w.doc_id = d.doc_id),
+        WITH {_SQL_WORDS}, {_quality_m_cte(stop_hits_en, " d.lang, d.text,")},
         scored AS (
-          SELECT doc_id, lang, text, round((
-              (CASE WHEN nc >= 50 AND nc <= 20000 THEN 1.0 ELSE 0.0 END) +
-              (CASE WHEN np / greatest(nw, 1) <= 0.3
-                    THEN 1.0 - np / greatest(nw, 1) ELSE 0.0 END) +
-              least(sh * 4.0 / greatest(nw, 1), 1.0) +
-              (CASE WHEN nc / greatest(nw, 1) >= 3 AND nc / greatest(nw, 1) <= 12
-                    THEN 1.0 ELSE 0.0 END)
-            ) / 4, 4) AS quality
+          SELECT doc_id, lang, text, {_QUALITY_EXPR} AS quality
           FROM m),
         filtered AS (SELECT * FROM scored WHERE quality >= 0.5),
         kept AS (
@@ -1140,20 +1165,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {lang_case} AS lang_pred FROM hits",
 
         "quality_score": f"""
-            WITH {_SQL_WORDS}, m AS (
-              SELECT d.doc_id, length(d.text) AS nc,
-                (CASE WHEN length(trim(d.text)) = 0 THEN 0 ELSE len(w.ws) END) AS nw,
-                len(regexp_extract_all(d.text, '[.,;:!?]')) AS np,
-                {stop_hits['en']} AS sh
-              FROM documents d JOIN w ON w.doc_id = d.doc_id)
-            SELECT doc_id, round((
-                (CASE WHEN nc >= 50 AND nc <= 20000 THEN 1.0 ELSE 0.0 END) +
-                (CASE WHEN np / greatest(nw, 1) <= 0.3
-                      THEN 1.0 - np / greatest(nw, 1) ELSE 0.0 END) +
-                least(sh * 4.0 / greatest(nw, 1), 1.0) +
-                (CASE WHEN nc / greatest(nw, 1) >= 3 AND nc / greatest(nw, 1) <= 12
-                      THEN 1.0 ELSE 0.0 END)
-              ) / 4, 4) AS quality
+            WITH {_SQL_WORDS}, {_quality_m_cte(stop_hits['en'])}
+            SELECT doc_id, {_QUALITY_EXPR} AS quality
             FROM m""",
 
         "fingerprint": f"WITH {_SQL_WORDS} "
@@ -1161,20 +1174,7 @@ def oracle_sql() -> dict[str, str]:
             "  i -> md5(array_to_string(ws[i:i+2], ' ')))) AS fp FROM w",
 
         "ngram_jaccard": f"""
-            WITH {_SQL_AUG},
-            w AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM aug),
-            sh AS (
-              SELECT DISTINCT doc_id, unnest(list_transform(
-                range(1, len(ws)-1),
-                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-              FROM w),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
+            WITH {_SQL_AUG},{_NGRAM_CTES}
             SELECT id1, id2,
               round(i / (sa.sz + sb.sz - i), 4) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id1
@@ -1228,20 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         # reachable id = cluster representative (mirrors min-label
         # propagation's fixpoint)
         "dedup_clusters": f"""
-            WITH RECURSIVE {_SQL_AUG},
-            w AS (
-              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM aug),
-            sh AS (
-              SELECT DISTINCT doc_id, unnest(list_transform(
-                range(1, len(ws)-1),
-                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
-              FROM w),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
+            WITH RECURSIVE {_SQL_AUG},{_NGRAM_CTES},
             pairs AS (
               SELECT id1, id2
               FROM inter JOIN sizes sa ON sa.doc_id = id1

@@ -131,10 +131,13 @@ def run(argv: list[str], spark=None) -> int:
                 def matches_seed(domain: str) -> bool:
                     # RFC 6265 domain-match like Go's jar.Cookies(s.URL):
                     # http.cookiejar stores Domain-attribute cookies with a
-                    # leading dot ('.example.org'), which must still match
-                    # the seed host and its subdomain position
-                    d = domain.lstrip(".")
-                    return seed_host == d or seed_host.endswith("." + d)
+                    # leading dot ('.example.org') — those match the seed
+                    # host and its subdomains; HOST-ONLY cookies (no dot)
+                    # match only their exact host
+                    if domain.startswith("."):
+                        d = domain[1:]
+                        return seed_host == d or seed_host.endswith("." + d)
+                    return seed_host == domain
 
                 jar = [Cookie(
                         name=d["name"], value=d["value"],

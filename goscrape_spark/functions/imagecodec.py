@@ -127,9 +127,22 @@ def png_decode(data: bytes):
             prev = line
         px = out.reshape(h, w, ch)
         if ctype == 2:
-            return px.copy()
+            rgb = px.copy()
+            if trns and len(trns) >= 6:
+                # tRNS color key (one 16-bit sample per channel; depth 8
+                # uses the low byte range): matching pixels are fully
+                # transparent -> premultiply to black like the alpha types
+                kr, kg, kb = struct.unpack(">HHH", trns[:6])
+                key_mask = ((px[:, :, 0] == kr) & (px[:, :, 1] == kg)
+                            & (px[:, :, 2] == kb))
+                rgb[key_mask] = 0
+            return rgb
         if ctype == 0:
-            return np.repeat(px, 3, axis=2)
+            rgb = np.repeat(px, 3, axis=2)
+            if trns and len(trns) >= 2:
+                (kg,) = struct.unpack(">H", trns[:2])
+                rgb[px[:, :, 0] == kg] = 0
+            return rgb
         if ctype == 3:
             if plte is None:
                 return None

@@ -309,6 +309,10 @@ def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
     clusters, so diameter is tiny).  Each round's labels are
     localCheckpointed to truncate the iterative lineage; convergence is a
     1-row existence probe (``limit(1).count()``), not a collect.
+
+    Raises RuntimeError if the graph has not converged after ``max_iter``
+    rounds (a diameter > max_iter chain) — returning intermediate labels
+    would silently split one component into several.
     """
     e = pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
     edges = (e.unionByName(e.select(F.col("b").alias("a"),
@@ -321,6 +325,7 @@ def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
               .select(F.col("a").alias("node"),
                       F.least(F.col("a"), F.col("_nb")).alias("label"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("label").alias("nl")))
@@ -338,6 +343,11 @@ def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            f"(pair-graph diameter exceeds max_iter); raise max_iter")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -448,7 +448,8 @@ class Crawler:
         fetched_miss = self._do_fetch(miss)
         return fetched_miss.unionByName(hit.select(*fetched_miss.columns))
 
-    def _do_fetch(self, urls: DataFrame) -> DataFrame:
+    def _do_fetch(self, urls: DataFrame,
+                  approx_rows: int | None = None) -> DataFrame:
         """The fetch seam: (url) -> (url, body, resp_url, status, attempts).
 
         Mock mode: J2 fixture join + S2 retry outcome as columns (the
@@ -479,7 +480,7 @@ class Crawler:
                     (d["domain"], d["path"], d["name"])] = d
             return fetched.drop("set_cookies")
         maxr = self.config.max_retries
-        if self._mock_broadcastable():
+        if self._mock_broadcastable(approx_rows):
             # Broadcast plan: the frontier/asset url set is the SMALL side,
             # but outer joins can only broadcast the build (non-preserved)
             # side — so split into an inner join (bodies stream past a
@@ -521,9 +522,13 @@ class Crawler:
     # url set must fit comfortably in every executor)
     MOCK_BROADCAST_MAX = 2_000_000
 
-    def _mock_broadcastable(self) -> bool:
+    def _mock_broadcastable(self, approx_rows: int | None = None) -> bool:
+        # gate on the ACTUAL url-set size when the caller knows it (asset/
+        # css sets can be a fanout multiple of the page frontier); the
+        # frontier count is only the default for the page-fetch path
+        rows = self._n_frontier if approx_rows is None else approx_rows
         return (not self.live
-                and self._n_frontier <= self.MOCK_BROADCAST_MAX
+                and rows <= self.MOCK_BROADCAST_MAX
                 and self._pages_rows() <= 5_000_000)
 
     def _pages_slim(self) -> DataFrame:
@@ -554,8 +559,9 @@ class Crawler:
              .otherwise(F.lit("ok")).alias("status"))
 
     def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
-        fetched = self._do_fetch(frontier.select("url"))
-        if (not self.live) and self._mock_broadcastable():
+        fetched = self._do_fetch(frontier.select("url"),
+                                 approx_rows=self._n_frontier)
+        if (not self.live) and self._mock_broadcastable(self._n_frontier):
             # fetched covers exactly the frontier's url set (hit + miss
             # partition it), so the meta attach is an inner join and the
             # small frontier side can be the broadcast build
@@ -843,7 +849,10 @@ class Crawler:
         body+img image entries but before the next page's stages."""
         meta = link_surv.select("url", "page_url", "parent_seq",
                                 F.col("intra1").alias("link_intra"), "depth")
-        link_fetch = self._do_fetch(meta.select("url").distinct())
+        link_urls = meta.select("url").distinct()
+        link_fetch = self._do_fetch(
+            link_urls,
+            approx_rows=None if self.live else link_urls.count())
         if self.live:
             # cache the real GETs so _fetch_assets reuses the bodies instead
             # of re-fetching every stylesheet (the reference fetches a link
@@ -919,7 +928,10 @@ class Crawler:
         candidates whose predecessors all failed, one wave per chain level —
         the exact sequential fileExists semantics."""
         if not self.live:
-            fetched = self._do_fetch(allowed.select("url").distinct()) \
+            # allowed is checkpointed; its count (an upper bound on the
+            # distinct url set) cheaply sizes the broadcast gate
+            fetched = self._do_fetch(allowed.select("url").distinct(),
+                                     approx_rows=allowed.count()) \
                           .select("url", "body", "status", "attempts")
             joined = self._schedule(allowed).join(fetched, on="url", how="left")
             return self._asset_log_select(joined, epoch)

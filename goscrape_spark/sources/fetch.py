@@ -117,10 +117,25 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
         jar = http.cookiejar.CookieJar()
         for d in base_list:
             jar.set_cookie(_jar_cookie(d))
+        # every redirect hop's host counts as "contacted" for tombstone
+        # scoping below — an intermediate hop (a -> B -> c) can delete its
+        # own cookie, and only resp.geturl() (the final hop) is otherwise
+        # visible
+        hop_hosts: set[str] = set()
+
+        class _HopTracker(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                h = urllib.parse.urlsplit(newurl).hostname
+                if h:
+                    hop_hosts.add(h)
+                return super().redirect_request(req, fp, code, msg, hdrs,
+                                                newurl)
+
         # S5: proxy transport (scraper/scraper.go:111-115) — one opener per
         # host batch, routing both schemes through the configured proxy;
         # the cookie processor presents + absorbs per standard jar matching
-        handlers = [urllib.request.HTTPCookieProcessor(jar)]
+        handlers = [_HopTracker(),
+                    urllib.request.HTTPCookieProcessor(jar)]
         if proxy:
             handlers.append(
                 urllib.request.ProxyHandler({"http": proxy, "https": proxy}))
@@ -176,7 +191,7 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
         #   cookies whose domain this batch actually contacted (the
         #   grouped host, plus redirect targets) — only those servers
         #   could have deleted them.
-        contacted = {str(key[0]).partition(":")[0]}
+        contacted = {str(key[0]).partition(":")[0]} | hop_hosts
         for ru in rows["resp_url"]:
             h = urllib.parse.urlsplit(ru).hostname
             if h:

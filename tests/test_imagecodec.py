@@ -230,3 +230,29 @@ def test_recode_jpeg_to_jpeg_lower_quality():
     out = recode_image_bytes(hi, 30)
     assert len(out) < len(hi)
     assert jpeg_decode(out) is not None
+
+
+def test_png_truecolor_and_gray_trns_color_key():
+    """tRNS color keys for color types 2 and 0: matching pixels decode
+    transparent -> premultiplied to black (Go's decode honors these too)."""
+    img = np.zeros((1, 3, 3), np.uint8)
+    img[0] = [[10, 20, 30], [1, 2, 3], [10, 20, 30]]
+    raw = b"\x00" + img.tobytes()
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 2, 0, 0, 0)) +
+           _chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30)) +
+           _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = png_decode(png)
+    assert (dec[0, 0] == [0, 0, 0]).all()        # keyed -> black
+    assert (dec[0, 1] == [1, 2, 3]).all()        # unkeyed -> unchanged
+    assert (dec[0, 2] == [0, 0, 0]).all()
+
+    gray = np.array([[7, 8, 7]], np.uint8).reshape(1, 3, 1)
+    raw = b"\x00" + gray.tobytes()
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)) +
+           _chunk(b"tRNS", struct.pack(">H", 7)) +
+           _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+    dec = png_decode(png)
+    assert (dec[0, 0] == 0).all() and (dec[0, 2] == 0).all()
+    assert (dec[0, 1] == [8, 8, 8]).all()

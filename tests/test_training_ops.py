@@ -244,3 +244,15 @@ def test_stratified_sample_deterministic_and_monotone(spark):
     en_rate = len(s1 & set(en)) / len(en)
     fr_rate = len(s1 & set(fr)) / len(fr)
     assert abs(en_rate - 0.5) < 0.06 and abs(fr_rate - 0.1) < 0.04
+
+
+def test_near_dup_clusters_raises_without_convergence(spark):
+    """Exhausting max_iter must raise, not silently return split labels."""
+    import pytest as _pt
+
+    from goscrape_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id1 bigint, id2 bigint")
+    with _pt.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(pairs, max_iter=1)
