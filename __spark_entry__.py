@@ -654,11 +654,16 @@ def _real_image_payloads() -> list[tuple[int, bytes]]:
                   axis=2).astype(np.uint8)
     g2 = np.stack([np.full_like(x, 200), (x * 3) % 256, (y * 9) % 256],
                   axis=2).astype(np.uint8)[:16, :16]
+    # payload 5 is a CONSTANT-color 8x8 PNG whose oracle row is
+    # hand-computed (not replayed through _image_feature) — see
+    # _image_features_real_sql
+    g3 = np.full((8, 8, 3), [60, 120, 240], dtype=np.uint8)
     return [(0, png_encode(g1)),
             (1, png_encode(g2)),
             (2, jpeg_encode(g1, 80)),
             (3, jpeg_encode(g2, 50)),
-            (4, b"\x89PNG\r\n\x1a\nbroken")]
+            (4, b"\x89PNG\r\n\x1a\nbroken"),
+            (5, png_encode(g3))]
 
 
 def q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -671,6 +676,45 @@ def q_image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     rows = [(f"img://{i}", bytearray(p)) for i, p in _real_image_payloads()]
+    fetched = spark.createDataFrame(rows, "url string, body binary")
+    feats = extract_media_features(media_from_fetched(fetched), dim=12,
+                                   decode="real")
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.md5(F.concat_ws(",", F.transform(
+            F.col("feature"), lambda x: F.format_number(x, 4))))
+         .alias("feature_md5"),
+        "decode_status")
+
+
+def _real_audio_payloads() -> list[tuple[int, bytes]]:
+    """Deterministic WAV payloads for the real audio-decode golden (no
+    RNG, closed-form signals only).  Payloads 0 and 1 carry HAND-COMPUTED
+    oracle rows (see _audio_features_real_sql)."""
+    import numpy as np
+
+    from goscrape_spark.functions.audiocodec import wav_encode
+
+    t = np.arange(16000) / 16000.0
+    return [
+        (0, wav_encode(np.full(8000, 0.5), 8000)),            # DC
+        (1, wav_encode(np.tile([0.5, -0.5], 4000), 8000)),    # Nyquist sq
+        (2, wav_encode(0.8 * np.sin(2 * np.pi * 440 * t), 16000, bits=24)),
+        (3, wav_encode(np.linspace(-0.9, 0.9, 4410), 44100, channels=2)),
+        (4, b"ID3\x04\x00mp3-payload-no-wav-codec-here"),     # undecodable
+    ]
+
+
+def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-decode audio tier: extract_media_features(decode='real') over
+    RIFF/WAV PCM bytes through the vendored codec (functions/audiocodec) —
+    duration/RMS/zero-crossings/spectral stats, not hash stand-ins."""
+    from goscrape_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_fetched,
+    )
+
+    rows = [(f"aud://{i}", bytearray(p)) for i, p in _real_audio_payloads()]
     fetched = spark.createDataFrame(rows, "url string, body binary")
     feats = extract_media_features(media_from_fetched(fetched), dim=12,
                                    decode="real")
@@ -732,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-side (_media_features_sql)
         "media_features": q_media_features,
         "image_features_real": q_image_features_real,
+        "audio_features_real": q_audio_features_real,
         "srcset_math": q_srcset_math,
         "css_extract": q_css_extract,
         "dedup_clusters": q_dedup_clusters,
@@ -1023,10 +1068,23 @@ def _image_features_real_sql() -> str:
         _image_feature,
     )
 
+    # Payload 5's expected feature is HAND-COMPUTED from the feature-layout
+    # spec, independent of _image_feature/_image codec code, so the oracle
+    # can catch errors in the codec/feature math itself (not just Spark
+    # plumbing): constant (60,120,240) 8x8 image -> mean RGB/255 =
+    # (60,120,240)/255, std = 0, h = w = 8, and the 4-bin luminance
+    # histogram puts all 64 px in bin 1 (lum = .299*60+.587*120+.114*240
+    # = 115.74, bin width 256/4 = 64).
+    hand = {5: ("0.2353,0.4706,0.9412,0.0000,0.0000,0.0000,"
+                "8.0000,8.0000,0.0000,1.0000,0.0000,0.0000")}
     image = {"jpg", "png", "gif", "webp", "bmp", "tif", "ico", "psd"}
     rows = []
     for i, raw in _real_image_payloads():
         kind = "image" if sniff_extension(raw) in image else "binary"
+        if i in hand:
+            rows.append((f"img://{i}", kind, len(raw),
+                         hashlib.md5(hand[i].encode()).hexdigest(), "real"))
+            continue
         feat, status = None, "stub"
         if kind == "image":
             feat = _image_feature(raw, 12)
@@ -1035,6 +1093,54 @@ def _image_features_real_sql() -> str:
             feat = _fake_feature(raw, 12)
         s = ",".join(f"{float(np.float32(v)):.4f}" for v in feat)
         rows.append((f"img://{i}", kind, len(raw),
+                     hashlib.md5(s.encode()).hexdigest(), status))
+    return _golden_values_sql(
+        rows, "media_id, kind, n_bytes, feature_md5, decode_status")
+
+
+def _audio_features_real_sql() -> str:
+    """Golden-VALUES oracle for q_audio_features_real.  Rows 0/1 are
+    HAND-COMPUTED from the feature-layout spec (independent of the codec
+    and _audio_feature, so errors in the signal math itself are caught):
+
+    * payload 0 — constant 0.5, 1 s @ 8 kHz: duration 1, rate 8 kHz,
+      RMS 0.5, zero crossings 0, centroid 0 (all energy at DC), bands
+      [1,0,...,0];
+    * payload 1 — alternating +-0.5 @ 8 kHz: RMS 0.5, zcr 1 (every
+      adjacent pair flips sign), centroid 1.0 (all energy at Nyquist),
+      bands [0,...,0,1].
+
+    Remaining rows replay the driver-side math like the image oracle."""
+    import hashlib
+
+    import numpy as np
+
+    from goscrape_spark.functions.filetype import sniff_extension
+    from goscrape_spark.operators.multimodal import (
+        _audio_feature,
+        _fake_feature,
+    )
+
+    hand = {0: ("1.0000,8.0000,0.5000,0.0000,0.0000,1.0000,0.0000,"
+                "0.0000,0.0000,0.0000,0.0000,0.0000"),
+            1: ("1.0000,8.0000,0.5000,1.0000,1.0000,0.0000,0.0000,"
+                "0.0000,0.0000,0.0000,0.0000,1.0000")}
+    audio = {"mp3", "ogg", "wav", "flac", "mid", "amr", "aiff"}
+    rows = []
+    for i, raw in _real_audio_payloads():
+        kind = "audio" if sniff_extension(raw) in audio else "binary"
+        if i in hand:
+            rows.append((f"aud://{i}", kind, len(raw),
+                         hashlib.md5(hand[i].encode()).hexdigest(), "real"))
+            continue
+        feat, status = None, "stub"
+        if kind == "audio":
+            feat = _audio_feature(raw, 12)
+            status = "real" if feat is not None else "undecodable"
+        if feat is None:
+            feat = _fake_feature(raw, 12)
+        s = ",".join(f"{float(np.float32(v)):.4f}" for v in feat)
+        rows.append((f"aud://{i}", kind, len(raw),
                      hashlib.md5(s.encode()).hexdigest(), status))
     return _golden_values_sql(
         rows, "media_id, kind, n_bytes, feature_md5, decode_status")
@@ -1216,6 +1322,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _media_features_sql(),
 
         "image_features_real": _image_features_real_sql(),
+        "audio_features_real": _audio_features_real_sql(),
 
         "srcset_math": _golden_values_sql(
             [(c, cand, rw) for c, _, cand, rw in _SRCSET_CASES],

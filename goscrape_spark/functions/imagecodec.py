@@ -27,6 +27,7 @@ when importable and falls back here.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
@@ -44,7 +45,19 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # large photo PNG could otherwise pin an executor core for minutes, so the
 # vendored tier bails out (-> caller keeps original bytes, like any decode
 # failure) once the slow-filtered rows exceed this byte budget.
-_SLOW_FILTER_BYTE_CAP = 1 << 23      # 8 MB of Average/Paeth-filtered rows
+_SLOW_FILTER_BYTE_CAP = int(os.environ.get(
+    "GOSCRAPE_PNG_SLOW_FILTER_CAP", 1 << 23))  # Average/Paeth row budget;
+# capped images keep their ORIGINAL bytes — a documented size-only
+# divergence from Go image/png (see operators/images.py docstring)
+
+# Crawl payloads are untrusted: a kilobyte-scale PNG whose IDAT inflates
+# ~1000:1 (a zlib bomb) must not allocate gigabytes inside an executor
+# task.  Decompression is therefore (a) refused up front when the IHDR
+# dimensions imply more raw scanline bytes than this cap, and (b) streamed
+# via decompressobj with output hard-bounded at h*(stride+1) bytes, so a
+# bomb that LIES about its dimensions is truncated rather than inflated
+# (mirroring Go image/png's per-scanline streaming reads).
+_DECODE_BYTE_CAP = 1 << 28           # 256 MB of raw scanline data
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -83,9 +96,26 @@ def png_decode(data: bytes):
                 or ctype not in _CHANNELS:
             return None
         ch = _CHANNELS[ctype]
-        raw = zlib.decompress(b"".join(idat))
         stride = w * ch
-        if len(raw) < h * (stride + 1):
+        expected = h * (stride + 1)
+        if expected > _DECODE_BYTE_CAP:
+            return None
+        dec = zlib.decompressobj()
+        parts, got = [], 0
+        buf = b"".join(idat)
+        while buf and got < expected:
+            out = dec.decompress(buf, expected - got)
+            parts.append(out)
+            got += len(out)
+            buf = dec.unconsumed_tail
+        if got < expected and not dec.eof:
+            # complete input consumed but final bytes held in the inflate
+            # window; flush() output here is bounded by that window
+            tail = dec.flush()
+            parts.append(tail[:expected - got])
+            got += len(parts[-1])
+        raw = b"".join(parts)
+        if got < expected:
             return None
         out = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint32)

@@ -13,6 +13,19 @@ from the public T.81/RFC-2083 specs) so the recode logic executes against
 real bytes even in this Pillow-less sandbox.  Progressive JPEG / exotic
 PNG variants decode to None under the vendored tier and pass through,
 exactly the reference's decode-error behavior.
+
+Documented vendored-tier divergences from Go image/png (both are
+keep-original-bytes pass-throughs, so output differs from the reference
+only in SIZE, never in correctness of served content):
+
+* PNGs with > ``GOSCRAPE_PNG_SLOW_FILTER_CAP`` (default 8 MB) of
+  Average/Paeth-filtered scanlines are NOT recoded (the per-byte Python
+  unfilter would pin an executor core); the reference would recode them.
+  Large photographic PNGs commonly use Paeth, so offline-mirror sizes can
+  exceed the reference's until Pillow is installed (PIL tier has no cap).
+* PNGs whose IHDR implies > 256 MB of raw scanline data are refused, and
+  IDAT inflation is hard-bounded at the IHDR-derived size (zlib-bomb
+  guard; untrusted crawl payloads must not allocate GBs in an executor).
 """
 
 from __future__ import annotations

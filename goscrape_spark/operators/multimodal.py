@@ -3,13 +3,15 @@
 Media payloads are opaque ``binary`` columns with typed metadata structs —
 the 100 TB-scale representation (payload stays columnar, metadata prunable).
 Decode / feature-extract / resize / frame-sample run as ``mapInPandas`` over
-Arrow batches.  ``decode='real'`` decodes IMAGE payloads for real through
-the vendored PNG/JPEG codec (functions/imagecodec, pure NumPy); audio and
-video feature/frame decode remain stubbed (librosa/ffmpeg are not in this
-container) and fall back to the deterministic hash-derived features with an
-honest ``decode_status``.  ``decode='fake'`` hash-features every kind so
-the Spark-side plumbing — schema, partitioning, batch shape, UDF
-signatures — is testable without any codec.
+Arrow batches.  ``decode='real'`` decodes IMAGE payloads through the
+vendored PNG/JPEG codec (functions/imagecodec) and AUDIO payloads through
+the vendored RIFF/WAV PCM codec (functions/audiocodec) — real pixel/signal
+statistics, pure NumPy; compressed audio (mp3/ogg) and video frame decode
+remain stubbed (librosa/ffmpeg are not in this container) and fall back to
+the deterministic hash-derived features with an honest ``decode_status``.
+``decode='fake'`` hash-features every kind so the Spark-side plumbing —
+schema, partitioning, batch shape, UDF signatures — is testable without
+any codec.
 
 Schema:
     media(media_id string, kind string, payload binary,
@@ -92,18 +94,56 @@ def _image_feature(payload: bytes, dim: int) -> list[float] | None:
     return [float(x) for x in feats[:dim]]
 
 
+def _audio_feature(payload: bytes, dim: int) -> list[float] | None:
+    """REAL signal features for RIFF/WAV PCM payloads via the vendored
+    codec (functions/audiocodec, pure struct+NumPy from the public WAVE
+    spec).  Layout: [duration_sec, sample_rate_kHz, RMS, zero-crossing
+    rate, spectral centroid normalized to Nyquist, then (dim-5) equal
+    rfft bands' energy fractions].  kHz (not Hz) keeps every value under
+    1000 so Spark's format_number rendering (no thousands separator)
+    matches the oracle's %.4f replay.  Returns None for non-WAV audio
+    (mp3/ogg/flac need real codecs — a deployment plugs in librosa)."""
+    import numpy as np
+
+    from ..functions.audiocodec import wav_decode
+
+    dec = wav_decode(payload)
+    if dec is None:
+        return None
+    s, rate = dec
+    n = s.size
+    if n == 0:
+        return None
+    feats = [n / rate, rate / 1000.0, float(np.sqrt(np.mean(s * s))),
+             float(np.mean((s[1:] >= 0) != (s[:-1] >= 0))) if n > 1 else 0.0]
+    mag = np.abs(np.fft.rfft(s))
+    tot = mag.sum()
+    feats.append(float((mag * np.arange(mag.size)).sum()
+                       / (tot * max(mag.size - 1, 1))) if tot > 0 else 0.0)
+    nbins = dim - len(feats)
+    if nbins > 0:
+        energy = mag * mag
+        etot = energy.sum()
+        bands = [float(b.sum() / etot) if etot > 0 else 0.0
+                 for b in np.array_split(energy, nbins)]
+        feats += bands
+    return [float(x) for x in feats[:dim]]
+
+
 def extract_media_features(media: DataFrame, dim: int = 16,
                            decode: str = "fake") -> DataFrame:
     """Arrow-batched decode + feature extraction.
 
     decode='real': image payloads decode through the vendored PNG/JPEG
-    codec and yield REAL pixel statistics (status 'real'; operators/
-    images.py prefers PIL upstream when importable); images the vendored
-    tier can't decode fall back to the hash features with status
-    'undecodable'; audio/video stay hash-featured with status 'stub' —
-    librosa/ffmpeg are absent from this container, and that is where a
-    real deployment plugs them in.  decode='fake' exercises the identical
-    dataflow with deterministic hash features for every kind."""
+    codec and audio payloads through the vendored RIFF/WAV PCM codec,
+    yielding REAL pixel/signal statistics (status 'real'; operators/
+    images.py prefers PIL upstream when importable); images/audio the
+    vendored tiers can't decode (progressive JPEG, mp3/ogg/flac) fall
+    back to the hash features with status 'undecodable'; video stays
+    hash-featured with status 'stub' — ffmpeg is absent from this
+    container, and that is where a real deployment plugs it in.
+    decode='fake' exercises the identical dataflow with deterministic
+    hash features for every kind."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -118,8 +158,9 @@ def extract_media_features(media: DataFrame, dim: int = 16,
                 ids.append(mid)
                 kinds.append(kind)
                 sizes.append(len(raw))
-                if decode == "real" and kind == "image":
-                    f = _image_feature(raw, dim)
+                if decode == "real" and kind in ("image", "audio"):
+                    f = (_image_feature(raw, dim) if kind == "image"
+                         else _audio_feature(raw, dim))
                     feats.append(f if f is not None
                                  else _fake_feature(raw, dim))
                     status.append("real" if f is not None

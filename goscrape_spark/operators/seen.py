@@ -93,6 +93,18 @@ class SeenSet:
 
     def __init__(self, n_expected: int = 1_000_000, fp_rate: float = 0.01):
         self.bloom = BloomFilter(n_expected, fp_rate)
+        # optional probe counters (enable_stats): measure how many candidate
+        # rows the pre-filter lets SKIP the anti-join, without extra jobs
+        self.probe_total = None
+        self.probe_hits = None
+
+    def enable_stats(self, sc) -> None:
+        """Attach Spark accumulators so every probe_df pass counts rows
+        probed and rows flagged maybe-seen (the anti-join's real input).
+        Accumulator semantics: task retries can double-count, so the value
+        is evidence (a ratio), not an exact audit."""
+        self.probe_total = sc.accumulator(0)
+        self.probe_hits = sc.accumulator(0)
 
     def add_keys(self, keys: Iterable[str]) -> None:
         for k in keys:
@@ -130,6 +142,7 @@ class SeenSet:
         payload = self.bloom.bits.tobytes()
         spark = df.sparkSession
         bc = spark.sparkContext.broadcast(payload)
+        acc_total, acc_hits = self.probe_total, self.probe_hits
 
         def probe(batches: Iterator) -> Iterator:
             bf = BloomFilter.__new__(BloomFilter)
@@ -137,7 +150,11 @@ class SeenSet:
             bf.bits = np.frombuffer(bc.value, dtype=np.uint64)
             for pdf in batches:
                 pdf = pdf.copy()
-                pdf[out_col] = bf.might_contain_batch(list(pdf[key_col]))
+                hits = bf.might_contain_batch(list(pdf[key_col]))
+                pdf[out_col] = hits
+                if acc_total is not None:
+                    acc_total.add(len(pdf))
+                    acc_hits.add(int(hits.sum()))
                 yield pdf
 
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"

@@ -118,6 +118,7 @@ class Crawler:
         # fixture; see _pages_slim
         self._pages_slim_df: DataFrame | None = None
         self._pages_count: int | None = None
+        self._pages_url_bytes: int = 0
         self._n_frontier = 0
         self.robots = None
         if config.robots_rules:
@@ -125,6 +126,10 @@ class Crawler:
             self.robots = robots_rules_df(spark, config.robots_rules)
         self.checkpoint = checkpoint
         self.max_epochs = max_epochs
+        # collapse the seen/written union chains into one checkpointed
+        # table every K epochs (bounded per-epoch plan depth)
+        self.compact_every = int(os.environ.get(
+            "GOSCRAPE_COMPACT_EVERY", "16"))
         # S4: session cookie jar state, keyed (domain, path, name); starts
         # from the configured cookies and absorbs live Set-Cookie snapshots
         # per fetch round (the reference's shared cookiejar.Jar,
@@ -177,6 +182,7 @@ class Crawler:
 
         self.bloom = SeenSet() if self.use_bloom else None
         if self.bloom is not None:
+            self.bloom.enable_stats(spark.sparkContext)
             if resumed is None:
                 self.bloom.add_keys([r.dedup_key for r in seen.collect()])
             else:
@@ -376,6 +382,17 @@ class Crawler:
                              # already counted by the loop: no extra action
                              "frontier_rows": n_next},
                     written_delta=written_delta)
+            # plan-depth compaction: seen/written are lazy unionByName
+            # chains over per-epoch checkpointed deltas — correct at BFS
+            # depths, but the union tree (and Catalyst analysis time per
+            # epoch) grows linearly with epochs.  Every K epochs collapse
+            # the chain into ONE checkpointed table so a deep/continuous
+            # crawl's per-epoch plan stays O(K), not O(epoch).  Children
+            # are already materialized, so this re-reads checkpoint blocks
+            # once per K epochs and recomputes nothing.
+            if (epoch + 1) % self.compact_every == 0:
+                seen = self._localckpt(seen, "seen_compact")
+                written = self._localckpt(written, "written_compact")
             epoch += 1
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
@@ -522,6 +539,15 @@ class Crawler:
     # url set must fit comfortably in every executor)
     MOCK_BROADCAST_MAX = 2_000_000
 
+    # estimated in-memory cap for broadcasting the slim pages table: a
+    # broadcast is replicated to EVERY executor, so the gate must be sized
+    # on bytes, not rows — 5M rows of realistic (~60-120 B) URLs is a
+    # multi-hundred-MB build that can OOM small executors.  Estimate =
+    # raw url bytes + per-row hash-entry overhead.
+    PAGES_BROADCAST_MAX_BYTES = int(os.environ.get(
+        "GOSCRAPE_PAGES_BROADCAST_MAX_BYTES", 128 << 20))
+    _BROADCAST_ROW_OVERHEAD = 48
+
     def _mock_broadcastable(self, approx_rows: int | None = None) -> bool:
         # gate on the ACTUAL url-set size when the caller knows it (asset/
         # css sets can be a fanout multiple of the page frontier); the
@@ -529,7 +555,7 @@ class Crawler:
         rows = self._n_frontier if approx_rows is None else approx_rows
         return (not self.live
                 and rows <= self.MOCK_BROADCAST_MAX
-                and self._pages_rows() <= 5_000_000)
+                and self._pages_broadcastable())
 
     def _pages_slim(self) -> DataFrame:
         """(url, has_body, retry_after): body-free fixture metadata,
@@ -542,15 +568,31 @@ class Crawler:
         return self._pages_slim_df
 
     def _pages_rows(self) -> int:
+        return self._pages_stats()[0]
+
+    def _pages_stats(self) -> tuple[int, int]:
+        """(row count, sum of url lengths) over the slim checkpoint — one
+        job, cached for the crawl; sizes the broadcast gate on BYTES."""
         if self._pages_count is None:
-            self._pages_count = self._pages_slim().count()
-        return self._pages_count
+            row = self._pages_slim().agg(
+                F.count(F.lit(1)), F.sum(F.length("url"))).first()
+            self._pages_count = int(row[0])
+            self._pages_url_bytes = int(row[1] or 0)
+        return self._pages_count, self._pages_url_bytes
+
+    def _pages_broadcastable(self) -> bool:
+        rows, url_bytes = self._pages_stats()
+        est = url_bytes + rows * self._BROADCAST_ROW_OVERHEAD
+        return est <= self.PAGES_BROADCAST_MAX_BYTES
 
     def _mock_status(self, urls: DataFrame) -> DataFrame:
         """(url, status) for mock mode WITHOUT touching body blocks — the
         fileExists collision check needs outcomes only."""
         maxr = self.config.max_retries
-        j = urls.join(F.broadcast(self._pages_slim()), on="url", how="left")
+        slim = self._pages_slim()
+        if self._pages_broadcastable():
+            slim = F.broadcast(slim)
+        j = urls.join(slim, on="url", how="left")
         return j.select(
             "url",
             F.when(~F.coalesce(F.col("has_body"), F.lit(False)),
@@ -990,10 +1032,17 @@ class Crawler:
         out = ok.select("url", "file_path", "body", "stage",
                         self._pos().alias("_pos"))
         if 1 <= quality <= 99:
-            recoded = (out.drop("_pos")
+            # Re-join guard: `allowed` is first-wins-per-path today, so a
+            # url appears at ONE consideration position per epoch — but if
+            # that invariant ever relaxed, an on="url" re-join would fan
+            # out.  Dedupe bodies per url (rows for one url share
+            # file_path/body; stage tie-break is arbitrary) and keep the
+            # MIN position (first consideration, the write that wins).
+            pos_by_url = out.groupBy("url").agg(F.min("_pos").alias("_pos"))
+            recoded = (out.drop("_pos").dropDuplicates(["url"])
                        .mapInPandas(run, schema="url string, "
                                                 "file_path string, body binary")
-                       .join(out.select("url", "_pos"), on="url", how="inner"))
+                       .join(pos_by_url, on="url", how="inner"))
         else:
             recoded = out.drop("stage")
         return (recoded

@@ -256,3 +256,43 @@ def test_png_truecolor_and_gray_trns_color_key():
     dec = png_decode(png)
     assert (dec[0, 0] == 0).all() and (dec[0, 2] == 0).all()
     assert (dec[0, 1] == [8, 8, 8]).all()
+
+
+def test_png_zlib_bomb_output_is_bounded():
+    """A PNG declaring tiny dimensions whose IDAT inflates to ~100 MB must
+    decode the declared pixels only — decompression output is hard-bounded
+    at h*(stride+1), so the bomb cannot allocate gigabytes per task."""
+    import tracemalloc
+
+    img = np.array([[[10, 20, 30], [40, 50, 60]],
+                    [[70, 80, 90], [1, 2, 3]]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(2))
+    bomb = zlib.compress(raw + b"\x00" * (100 << 20), 9)   # ~100 KB input
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) +
+           _chunk(b"IDAT", bomb) + _chunk(b"IEND", b""))
+    tracemalloc.start()
+    dec = png_decode(png)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert (dec == img).all()              # declared pixels decode exactly
+    assert peak < 8 << 20                  # bounded, not the 100 MB payload
+
+
+def test_png_absurd_dimensions_refused_before_decompress():
+    """IHDR dimensions implying > _DECODE_BYTE_CAP raw bytes are refused
+    up front — no decompression happens at all."""
+    png = (b"\x89PNG\r\n\x1a\n" +
+           _chunk(b"IHDR",
+                  struct.pack(">IIBBBBB", 2 ** 30, 2 ** 30, 8, 2, 0, 0, 0)) +
+           _chunk(b"IDAT", zlib.compress(b"\x00" * 16)) +
+           _chunk(b"IEND", b""))
+    assert png_decode(png) is None
+
+
+def test_png_truncated_stream_with_window_tail():
+    """A stream whose final bytes sit in the inflate window (input fully
+    consumed before the output budget is reached) still decodes via the
+    bounded flush path."""
+    img = _test_image(h=3, w=5, seed=9)
+    assert (png_decode(png_encode(img)) == img).all()

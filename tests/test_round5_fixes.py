@@ -1,0 +1,108 @@
+"""Round-5 regression tests: broadcast gate sized on bytes, asset-output
+re-join hardening, and seen/written union-chain compaction."""
+
+from pyspark.sql import functions as F
+
+from goscrape_spark.config import CrawlConfig
+from goscrape_spark.plans.crawl import Crawler
+from goscrape_spark.sources.fixtures import (
+    SITE_LINKS,
+    SITE_LINKS_START,
+    pages_df,
+)
+
+
+def _crawler(spark):
+    c = Crawler(spark, CrawlConfig(url=SITE_LINKS_START),
+                pages_df(spark, SITE_LINKS))
+    c._n_frontier = 10
+    return c
+
+
+def test_pages_broadcast_gate_is_byte_sized(spark):
+    """The slim-pages broadcast is replicated to every executor, so the
+    gate must consider estimated BYTES (urls can be 100+ B each), not just
+    the 5M row ceiling it had in round 4."""
+    c = _crawler(spark)
+    rows, url_bytes = c._pages_stats()
+    assert rows == c.pages.count()
+    assert url_bytes > 0
+    assert c._pages_broadcastable()          # tiny fixture: well under cap
+    # same table, zero byte budget -> not broadcastable, regardless of rows
+    c.PAGES_BROADCAST_MAX_BYTES = 0
+    assert not c._pages_broadcastable()
+    assert not c._mock_broadcastable()
+
+
+def test_mock_status_falls_back_without_broadcast(spark):
+    """With the byte gate closed, _mock_status must still produce the same
+    statuses through the shuffle join (no broadcast hint in the plan)."""
+    c = _crawler(spark)
+    urls = c.pages.select("url").unionByName(spark.createDataFrame(
+        [("https://example.org/missing-page",)], "url string"))
+    want = {r.url: r.status for r in c._mock_status(urls).collect()}
+
+    c2 = _crawler(spark)
+    c2.PAGES_BROADCAST_MAX_BYTES = 0
+    st = c2._mock_status(urls)
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    got = {r.url: r.status for r in st.collect()}
+    assert got == want
+
+
+def test_asset_outputs_no_fanout_on_duplicate_url(spark):
+    """A crafted epoch where one asset url appears at TWO consideration
+    positions must still write exactly one row, at the MIN position
+    (first-wins) — the recode re-join may not fan out."""
+    c = Crawler(spark, CrawlConfig(url=SITE_LINKS_START, image_quality=75),
+                pages_df(spark, SITE_LINKS))
+    rows = [
+        ("https://example.org/a.gif", "example.org/a.gif", b"GIF89a data",
+         "image", "ok", 1, 2, 0, 0, 0),
+        ("https://example.org/a.gif", "example.org/a.gif", b"GIF89a data",
+         "image", "ok", 5, 2, 0, 0, 0),     # later position, same url
+        ("https://example.org/b.css", "example.org/b.css", b"body{}",
+         "css", "ok", 1, 1, 0, 0, 0),
+    ]
+    schema = ("url string, file_path string, body binary, stage string, "
+              "status string, parent_seq long, stage_rank int, sub_rank "
+              "int, intra1 int, intra2 int")
+    fetched = spark.createDataFrame(rows, schema)
+    got = c._asset_outputs(fetched, epoch=0).collect()
+    by_url = {r.url: r for r in got}
+    assert len(got) == 2 and len(by_url) == 2
+    a = by_url["https://example.org/a.gif"]
+    assert a.wpos.pos.parent_seq == 1          # min position wins
+    assert bytes(a.body) == b"GIF89a data"     # non-PNG/JPEG: pass-through
+    assert bytes(by_url["https://example.org/b.css"].body) == b"body{}"
+
+
+def test_union_chain_compaction_bounds_plan_depth(spark):
+    """A deep chain crawl must keep the per-epoch seen/written plans
+    O(compact_every), not O(epoch): the union chain collapses into one
+    checkpointed table every K epochs, with unchanged crawl semantics.
+
+    Semantics are asserted directly (compaction is load-bearing here: the
+    crawl joins candidates against `seen` EVERY epoch, so a key lost in
+    compaction would re-admit its page and a phantom key would cut the
+    chain short — epoch count, one-fetch-per-page, and the exact final
+    key membership all pin it)."""
+    n = 12
+    chain = {f"https://example.org/p{i}":
+             f'<html><a href="/p{i + 1}">next</a></html>' for i in range(n)}
+    chain[f"https://example.org/p{n}"] = "<html>end</html>"
+    cfg = CrawlConfig(url="https://example.org/p0")  # max_depth 0 = unlimited
+
+    c = Crawler(spark, cfg, pages_df(spark, chain))
+    c.compact_every = 4
+    res = c.run()
+    assert res.epochs == n + 1                       # chain fully walked
+    seen_rows = res.seen.collect()
+    assert len(seen_rows) == n + 1                   # no dup, no phantom
+    assert {r.dedup_key for r in seen_rows} == \
+        {f"/p{i}" for i in range(n + 1)}  # same-host keys are path-scoped
+    assert res.fetch_log.count() == n + 1            # each page once
+    # final seen plan: at most ~(epochs % K) union legs, not ~epochs
+    plan = res.seen._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Union") <= c.compact_every + 1
