@@ -726,6 +726,48 @@ def q_audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decode_status")
 
 
+def _real_video_payloads() -> list[tuple[int, bytes]]:
+    """Deterministic MJPEG-in-AVI payloads (no RNG).  Payload 0's first
+    frame is constant-128 — JPEG-exact (DC-only blocks), giving a
+    HAND-COMPUTED oracle row (see _video_frames_real_sql)."""
+    import numpy as np
+
+    from goscrape_spark.functions.avicodec import avi_mjpeg_encode
+    from goscrape_spark.functions.imagecodec import jpeg_encode
+
+    y, x = np.mgrid[0:16, 0:16]
+    grad = np.stack([(x * 9) % 256, (y * 5) % 256, ((x + y) * 3) % 256],
+                    axis=2).astype(np.uint8)
+    const = np.full((16, 16, 3), 128, dtype=np.uint8)
+    return [
+        (0, avi_mjpeg_encode([jpeg_encode(const, 75),
+                              jpeg_encode(grad, 75),
+                              jpeg_encode(grad[::-1].copy(), 75)],
+                             500000)),            # 3 frames x 500 ms
+        (1, b"\x00\x00\x00\x20ftypisom-mp4-needs-ffmpeg"),
+    ]
+
+
+def q_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19-adjacent real video tier: sample_video_frames(decode='real')
+    over MJPEG-in-AVI bytes through the vendored RIFF walker + JPEG
+    decoder — real per-frame pixel statistics; non-AVI containers surface
+    an honest 'undecodable' row (ffmpeg is the deployment plug-in)."""
+    from goscrape_spark.operators.multimodal import sample_video_frames
+
+    rows = [(f"vid://{i}", "video", bytearray(p),
+             ("avi", None, None, None)) for i, p in _real_video_payloads()]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, "
+              "meta struct<mime:string,width:int,height:int,"
+              "duration_ms:int>")
+    out = sample_video_frames(media, every_ms=600, decode="real")
+    return out.select(
+        "media_id", "ts_ms", "frame_idx", "height", "width",
+        F.format_number(F.col("mean_lum"), 4).alias("mean_lum_s"),
+        "decode_status")
+
+
 def q_crawl_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full epoch-synchronous crawl on the reference's TestScraperLinks
     fixture; returns the final seen table (golden: 4 keys)."""
@@ -777,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "image_features_real": q_image_features_real,
         "audio_features_real": q_audio_features_real,
+        "video_frames_real": q_video_frames_real,
         "srcset_math": q_srcset_math,
         "css_extract": q_css_extract,
         "dedup_clusters": q_dedup_clusters,
@@ -1004,6 +1047,8 @@ FROM scored ORDER BY s DESC, vec_id LIMIT 10"""
 
 def _golden_values_sql(rows: list[tuple], cols: str) -> str:
     def lit(v):
+        if v is None:
+            return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         return str(v)
@@ -1144,6 +1189,41 @@ def _audio_features_real_sql() -> str:
                      hashlib.md5(s.encode()).hexdigest(), status))
     return _golden_values_sql(
         rows, "media_id, kind, n_bytes, feature_md5, decode_status")
+
+
+def _video_frames_real_sql() -> str:
+    """Golden-VALUES oracle for q_video_frames_real.  The (vid://0, ts 0)
+    row is HAND-COMPUTED, independent of the codecs: frame 0 is constant
+    RGB 128, which round-trips JPEG bit-exactly (every 8x8 block is
+    DC-only and the level shift puts that DC at zero), so mean luminance
+    = 128*(0.299+0.587+0.114) = 128.0 exactly -> '128.0000', 16x16,
+    frame_idx 0, status real.  Remaining rows replay the driver-side
+    math like the image/audio oracles."""
+    from goscrape_spark.functions.avicodec import avi_mjpeg_decode
+    from goscrape_spark.functions.imagecodec import jpeg_decode
+
+    import numpy as np
+
+    rows = [("vid://0", 0, 0, 16, 16, "128.0000", "real")]   # hand row
+    for i, raw in _real_video_payloads():
+        dec = avi_mjpeg_decode(raw)
+        if dec is None or dec[1] <= 0:
+            rows.append((f"vid://{i}", 0, None, None, None, None,
+                         "undecodable"))
+            continue
+        frames, usec = dec
+        dur_ms = len(frames) * usec // 1000
+        for ts in range(0, max(dur_ms, 1), 600):
+            if i == 0 and ts == 0:
+                continue                                     # hand row
+            idx = min(ts * 1000 // usec, len(frames) - 1)
+            img = jpeg_decode(frames[idx])
+            lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+            rows.append((f"vid://{i}", ts, idx, img.shape[0], img.shape[1],
+                         f"{float(lum.mean()):.4f}", "real"))  # double col
+    return _golden_values_sql(
+        rows, "media_id, ts_ms, frame_idx, height, width, mean_lum_s, "
+              "decode_status")
 
 
 def _corpus_pipeline_sql(stop_hits_en: str) -> str:
@@ -1323,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
 
         "image_features_real": _image_features_real_sql(),
         "audio_features_real": _audio_features_real_sql(),
+        "video_frames_real": _video_frames_real_sql(),
 
         "srcset_math": _golden_values_sql(
             [(c, cand, rw) for c, _, cand, rw in _SRCSET_CASES],

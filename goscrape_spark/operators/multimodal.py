@@ -4,11 +4,13 @@ Media payloads are opaque ``binary`` columns with typed metadata structs —
 the 100 TB-scale representation (payload stays columnar, metadata prunable).
 Decode / feature-extract / resize / frame-sample run as ``mapInPandas`` over
 Arrow batches.  ``decode='real'`` decodes IMAGE payloads through the
-vendored PNG/JPEG codec (functions/imagecodec) and AUDIO payloads through
-the vendored RIFF/WAV PCM codec (functions/audiocodec) — real pixel/signal
-statistics, pure NumPy; compressed audio (mp3/ogg) and video frame decode
-remain stubbed (librosa/ffmpeg are not in this container) and fall back to
-the deterministic hash-derived features with an honest ``decode_status``.
+vendored PNG/JPEG codec (functions/imagecodec), AUDIO payloads through the
+vendored RIFF/WAV PCM codec (functions/audiocodec), and VIDEO frames
+through the vendored AVI/MJPEG walker (functions/avicodec) — real
+pixel/signal statistics, pure NumPy; formats needing external codecs
+(mp3/ogg audio, mp4/webm video — librosa/ffmpeg are not in this
+container) fall back to deterministic hash features / one-row outputs
+with an honest ``decode_status='undecodable'``.
 ``decode='fake'`` hash-features every kind so the Spark-side plumbing —
 schema, partitioning, batch shape, UDF signatures — is testable without
 any codec.
@@ -181,14 +183,66 @@ def extract_media_features(media: DataFrame, dim: int = 16,
             .mapInPandas(run, schema=FEATURES_SCHEMA))
 
 
+VIDEO_FRAMES_REAL_SCHEMA = ("media_id string, ts_ms long, frame_idx int, "
+                            "height int, width int, mean_lum double, "
+                            "decode_status string")
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         decode: str = "fake") -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame timestamp.
-    Timestamps derive from meta.duration_ms; the frame decode itself is the
-    stubbed step (payload hash stands in for pixels when decode='fake')."""
+    """Frame-sampling: one output row per sampled frame timestamp.
+
+    decode='fake': timestamps derive from meta.duration_ms; the frame
+    decode is stubbed (payload hash stands in for pixels).
+
+    decode='real': MJPEG-in-AVI payloads are walked by the vendored RIFF
+    container parser (functions/avicodec) and each sampled frame is
+    decoded by the vendored baseline-JPEG decoder (functions/imagecodec)
+    into real pixel statistics; timestamps derive from the container's
+    OWN frame count x avih frame duration, not metadata.  Videos in other
+    containers (mp4/webm need ffmpeg — the remaining deployment plug-in
+    point) emit one row with decode_status='undecodable'; sampled frames
+    whose JPEG payload doesn't decode emit their row with
+    decode_status='undecodable' and null stats."""
     if decode == "real":
-        raise NotImplementedError(
-            "real frame extraction requires ffmpeg")
+        def run(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            from ..functions.avicodec import avi_mjpeg_decode
+            from ..functions.imagecodec import jpeg_decode
+
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    raw = bytes(payload) if payload is not None else b""
+                    dec = avi_mjpeg_decode(raw)
+                    if dec is None or dec[1] <= 0:
+                        rows.append((mid, 0, None, None, None, None,
+                                     "undecodable"))
+                        continue
+                    frames, usec = dec
+                    dur_ms = len(frames) * usec // 1000
+                    for ts in range(0, max(dur_ms, 1), every_ms):
+                        idx = min(ts * 1000 // usec, len(frames) - 1)
+                        img = jpeg_decode(frames[idx])
+                        if img is None:
+                            rows.append((mid, ts, idx, None, None, None,
+                                         "undecodable"))
+                            continue
+                        lum = img.astype(np.float64) @ \
+                            np.array([0.299, 0.587, 0.114])
+                        rows.append((mid, ts, idx, img.shape[0],
+                                     img.shape[1], float(lum.mean()),
+                                     "real"))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "ts_ms", "frame_idx", "height", "width",
+                    "mean_lum", "decode_status"])
+
+        return (media.filter(F.col("kind") == "video")
+                .select("media_id", "payload")
+                .repartition("media_id")
+                .mapInPandas(run, schema=VIDEO_FRAMES_REAL_SCHEMA))
     frames = media.filter(F.col("kind") == "video").select(
         "media_id",
         F.explode(F.sequence(
