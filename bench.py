@@ -430,7 +430,9 @@ def _sf_queries(spark) -> dict[str, float]:
              "quality_score", "fingerprint", "minhash_lsh", "simhash",
              "cosine_topk", "embedding_near_dup", "politeness_schedule",
              "retry_backoff", "media_features", "dedup_clusters",
-             "stratified_sample", "corpus_pipeline"]
+             "stratified_sample", "corpus_pipeline",
+             "image_features_real", "audio_features_real",
+             "video_frames_real"]
     queries = entry_mod.queries()
     out = {}
     for name in names:
@@ -636,7 +638,10 @@ def main() -> None:
     if SCALING:
         steady_pages = int(os.environ.get("SPARK_GRAFT_STEADY_PAGES",
                                           "50000"))
-        reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+        # 2 reps default: round-5's 3-rep primary measured speedups
+        # 3.81/3.84/3.92 — tight enough that the third rep's ~5 minutes
+        # buys nothing against the driver's suite budget
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2")))
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_SMALL", "1"))
         n_big = int(os.environ.get("SPARK_GRAFT_SCALE_BIG", "4"))
         results["scaling"] = {"mode": _SCALING_MODE}

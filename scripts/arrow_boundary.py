@@ -43,7 +43,8 @@ def _set_tree_affinity(n: int) -> None:
         pass
 
 
-def _cell(cores: int, batch: int, largevar: bool) -> None:
+def _cell(cores: int, batch: int, largevar: bool,
+          pin: bool = True) -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from goscrape_spark.session import get_spark
@@ -73,12 +74,13 @@ def _cell(cores: int, batch: int, largevar: bool) -> None:
           .write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    _set_tree_affinity(cores)
+    if pin:
+        _set_tree_affinity(cores)
     one_pass()                                   # warmup (fork pools, JIT)
     sec = min(one_pass(), one_pass())
     mb = ROWS * (BODY + 8) / 1e6
     print(json.dumps({
-        "cores": cores, "batch": batch, "largevar": largevar,
+        "cores": cores, "batch": batch, "largevar": largevar, "pin": pin,
         "sec": round(sec, 3), "mb_s": round(mb / sec, 1),
         "mb_s_per_worker": round(mb / sec / cores, 2)}), flush=True)
     spark.stop()
@@ -120,6 +122,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--cell":
-        _cell(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4] == "1")
+        _cell(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4] == "1",
+              pin=not (len(sys.argv) > 5 and sys.argv[5] == "nopin"))
     else:
         main()
