@@ -83,7 +83,14 @@ def _crawl_once(spark, n_pages: int, job_group: str | None = None,
               f"output={time.time() - t_seen:.2f}s", flush=True)
     out = {"sec": round(dt, 3), "fetches": n_fetches, "seen": n_seen,
            "epochs": res.epochs,
-           "urls_per_sec": round((n_fetches + n_seen) / dt, 1)}
+           "urls_per_sec": round((n_fetches + n_seen) / dt, 1),
+           # stage attribution (VERDICT r4 ask #3): cumulative per-label
+           # checkpoint-materialization wall times over the whole crawl,
+           # largest first — the residual between sum(stages) and sec is
+           # driver orchestration + the final count/output actions
+           "stage_secs": dict(sorted(
+               ((k, round(v, 2)) for k, v in crawler.stage_secs.items()),
+               key=lambda kv: -kv[1]))}
     if use_bloom and crawler.bloom is not None \
             and crawler.bloom.probe_total is not None:
         # anti-join probe reduction: rows the Bloom pre-filter certified

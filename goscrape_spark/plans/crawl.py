@@ -130,6 +130,10 @@ class Crawler:
         # table every K epochs (bounded per-epoch plan depth)
         self.compact_every = int(os.environ.get(
             "GOSCRAPE_COMPACT_EVERY", "16"))
+        # per-label cumulative checkpoint wall times: every epoch stage is
+        # materialized through _localckpt, so this doubles as a stage-level
+        # attribution table (bench.py emits it into BENCH_FULL)
+        self.stage_secs: dict[str, float] = {}
         # S4: session cookie jar state, keyed (domain, path, name); starts
         # from the configured cookies and absorbs live Set-Cookie snapshots
         # per fetch round (the reference's shared cookiejar.Jar,
@@ -447,11 +451,12 @@ class Crawler:
         # eager: truncate lineage AND materialize once — every epoch state is
         # consumed by several downstream actions, and without materialization
         # the whole epoch chain would re-execute per action.
-        if not self._TIMING:
-            return df.localCheckpoint(eager=True)
         t0 = time.time()
         out = df.localCheckpoint(eager=True)
-        print(f"    ckpt[{label}]: {time.time() - t0:.2f}s", flush=True)
+        dt = time.time() - t0
+        self.stage_secs[label] = self.stage_secs.get(label, 0.0) + dt
+        if self._TIMING:
+            print(f"    ckpt[{label}]: {dt:.2f}s", flush=True)
         return out
 
     def _do_fetch_cached(self, urls: DataFrame) -> DataFrame:
