@@ -39,6 +39,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..config import CrawlConfig
 from ..functions.urlnorm import GoURL, parse_url
@@ -593,17 +594,24 @@ class Crawler:
     def _mock_status(self, urls: DataFrame) -> DataFrame:
         """(url, status) for mock mode WITHOUT touching body blocks — the
         fileExists collision check needs outcomes only."""
+        return self._attach_mock_status(urls).select("url", "status")
+
+    def _attach_mock_status(self, df: DataFrame) -> DataFrame:
+        """Append a ``status`` column to any url-keyed frame via the
+        body-free slim fixture table (broadcast when it fits — a left join
+        against the unique-url slim side never fans out)."""
         maxr = self.config.max_retries
         slim = self._pages_slim()
         if self._pages_broadcastable():
             slim = F.broadcast(slim)
-        j = urls.join(slim, on="url", how="left")
-        return j.select(
-            "url",
-            F.when(~F.coalesce(F.col("has_body"), F.lit(False)),
-                   F.lit("missing"))
-             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
-             .otherwise(F.lit("ok")).alias("status"))
+        return (df.join(slim, on="url", how="left")
+                .withColumn(
+                    "status",
+                    F.when(~F.coalesce(F.col("has_body"), F.lit(False)),
+                           F.lit("missing"))
+                     .when(F.col("retry_after") > maxr, F.lit("exhausted"))
+                     .otherwise(F.lit("ok")))
+                .drop("has_body", "retry_after"))
 
     def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
         fetched = self._do_fetch(frontier.select("url"),
@@ -820,18 +828,65 @@ class Crawler:
         the first-considered candidate per path and defers the rest;
         ``_fetch_assets`` re-admits deferred candidates whose predecessors
         all failed (the sequential chain, one wave per failure depth)."""
-        # checkpoint: aw feeds three consumers (dup agg, anti, semi) — the
-        # C8 path expressions + Python fallback union would otherwise
-        # recompute per consumer
+        # checkpoint: aw feeds several consumers — the C8 path expressions
+        # + Python fallback union would otherwise recompute per consumer
         aw = self._localckpt(self._with_asset_paths(assets), "asset_paths")
         pos = self._pos()
         page_w = page_paths.select("file_path", self._page_pos().alias("pos"))
 
-        # Collision pre-filter: an asset can only be fileExists-blocked if
-        # its path (a) repeats within this epoch's admitted assets, (b) is
-        # also written by a page this epoch, or (c) was written in an
-        # earlier epoch.  Everything else is allowed outright — no status
-        # join, no chain logic; blockers are a tiny distinct-path set.
+        if not self.live:
+            # Mock mode resolves the whole check in TWO hash-partition
+            # passes (round 5; previously a dup-paths agg + blockers
+            # anti/semi + url distinct + first-ok agg — six shuffled stages
+            # per epoch):
+            #  (a) one anti-join blocks paths written by earlier epochs and
+            #      keeps the GROWING `written` table out of the in-epoch
+            #      window below (at production scale written is bucketed by
+            #      file_path so this join avoids reshuffling it);
+            #  (b) one window over file_path on (this epoch's assets ∪ this
+            #      epoch's ok page writes): an asset is fetched iff its
+            #      consideration position <= the first ok writer's position
+            #      for its path — the first ok writer itself must fetch to
+            #      write, and failed attempts before it also fetch.
+            #      Singleton paths (the overwhelming majority) pass through
+            #      with a null/self first_ok, preserving the old
+            #      collision-pre-filter fast path semantics without its
+            #      extra joins.  file_path groups are near-unique, so the
+            #      window has no skew.
+            fresh = aw.join(written, "file_path", "left_anti")
+            if self._pages_rows() <= 5_000_000:
+                # status via the body-free slim table (broadcast join — the
+                # collision logic never needs the payload bytes)
+                cs = self._attach_mock_status(fresh)
+            else:
+                st = (self._do_fetch(fresh.select("url").distinct())
+                      .select("url", "status"))
+                cs = (fresh.join(st, on="url", how="left")
+                      .withColumn("status", F.coalesce(F.col("status"),
+                                                       F.lit("missing"))))
+            rows = (cs.withColumn("_pos", pos)
+                    .withColumn("_is_asset", F.lit(True))
+                    .unionByName(
+                        page_w.select("file_path",
+                                      F.col("pos").alias("_pos"),
+                                      F.lit(False).alias("_is_asset"),
+                                      F.lit("ok").alias("status")),
+                        allowMissingColumns=True))
+            first_ok = F.min(
+                F.when(F.col("status") == "ok", F.col("_pos"))
+            ).over(Window.partitionBy("file_path"))
+            allowed = (rows.withColumn("_first_ok", first_ok)
+                       .filter(F.col("_is_asset")
+                               & (F.col("_first_ok").isNull()
+                                  | (F.col("_pos") <= F.col("_first_ok"))))
+                       .drop("_pos", "_is_asset", "_first_ok", "status"))
+            return self._localckpt(allowed, "assets_allowed"), None
+
+        # live collision pre-filter: an asset can only be fileExists-blocked
+        # if its path (a) repeats within this epoch's admitted assets, (b)
+        # is also written by a page this epoch, or (c) was written in an
+        # earlier epoch.  Everything else is allowed outright — no chain
+        # logic; blockers are a tiny distinct-path set.
         dup_paths = (aw.groupBy("file_path")
                      .agg(F.count(F.lit(1)).alias("_n"))
                      .filter(F.col("_n") > 1).select("file_path"))
@@ -841,34 +896,8 @@ class Crawler:
         clean = aw.join(blockers, "file_path", "left_anti")
         cand = aw.join(blockers, "file_path", "left_semi")
 
-        if not self.live:
-            cand_urls = cand.select("url").distinct()
-            if self._pages_rows() <= 5_000_000:
-                # status-only outcome via the body-free slim table — the
-                # collision check never needs the payload bytes
-                st = self._mock_status(cand_urls)
-            else:
-                st = (self._do_fetch(cand_urls)
-                      .select("url", "status", "attempts"))
-            cs = (cand.join(st, on="url", how="left")
-                  .withColumn("_st",
-                              F.coalesce(F.col("status"), F.lit("missing")))
-                  .drop("status", "attempts"))
-            ok_w = (cs.filter(F.col("_st") == "ok")
-                    .select("file_path", pos.alias("pos")))
-            first_ok = (ok_w.unionByName(page_w)
-                        .groupBy("file_path")
-                        .agg(F.min("pos").alias("_first_ok")))
-            kept = (cs.join(written, "file_path", "left_anti")
-                    .join(first_ok, "file_path", "left")
-                    .filter(F.col("_first_ok").isNull()
-                            | (pos <= F.col("_first_ok")))
-                    .drop("_first_ok", "_st"))
-            allowed = clean.unionByName(kept)
-            return self._localckpt(allowed, "assets_allowed"), None
-
-        # live: block on earlier epochs + earlier page writers, keep the
-        # first candidate per path, defer the rest for the failure-chain loop
+        # block on earlier epochs + earlier page writers, keep the first
+        # candidate per path, defer the rest for the failure-chain loop
         pw_first = page_w.groupBy("file_path").agg(F.min("pos").alias("_pw"))
         unblocked = (cand.join(written, "file_path", "left_anti")
                      .join(pw_first, "file_path", "left")
