@@ -135,6 +135,8 @@ class Crawler:
         # materialized through _localckpt, so this doubles as a stage-level
         # attribution table (bench.py emits it into BENCH_FULL)
         self.stage_secs: dict[str, float] = {}
+        # metrics observed during the latest assets_allowed checkpoint
+        self._fs_obs = None
         # S4: session cookie jar state, keyed (domain, path, name); starts
         # from the configured cookies and absorbs live Set-Cookie snapshots
         # per fetch round (the reference's shared cookiejar.Jar,
@@ -753,8 +755,9 @@ class Crawler:
         url() refs are never discovered, exactly like the reference.
 
         Stability is detected by an order-insensitive signature of the
-        allowed link-asset set (count + sum of row hashes) — a 1-row
-        aggregate, no driver-side materialization of the set itself."""
+        allowed link-asset set (count + bit_xor of row hashes), observed
+        during the assets_allowed checkpoint — no extra job and no
+        driver-side materialization of the set itself."""
         cfg = self.config
         css_cands = None
         prev_sig: tuple | None = None
@@ -772,11 +775,10 @@ class Crawler:
             allowed, deferred = self._fs_admit(
                 survivors.filter(F.col("is_asset")), page_paths, written)
             link_surv = allowed.filter(F.col("stage_rank") == 1)
-            sig_row = link_surv.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("parent_seq", "intra1", "url")).alias("h")
-            ).first()
-            sig = (sig_row.n, sig_row.h)
+            # the signature rode the assets_allowed checkpoint's job
+            # (Observation) — no extra driver action here
+            m = self._fs_obs.get
+            sig = (m["n_link"], m["h_link"])
             if sig[0] == 0 and css_cands is None:
                 return inserts, survivors, allowed, deferred
             if prev_sig == sig:
@@ -828,9 +830,14 @@ class Crawler:
         the first-considered candidate per path and defers the rest;
         ``_fetch_assets`` re-admits deferred candidates whose predecessors
         all failed (the sequential chain, one wave per failure depth)."""
-        # checkpoint: aw feeds several consumers — the C8 path expressions
-        # + Python fallback union would otherwise recompute per consumer
-        aw = self._localckpt(self._with_asset_paths(assets), "asset_paths")
+        aw = self._with_asset_paths(assets)
+        if self.live or self._pages_rows() > 5_000_000:
+            # checkpoint: here aw feeds several consumers (live: dup agg +
+            # anti + semi; big-mock: the distinct url set + the status
+            # join) — the C8 path expressions + Python fallback union would
+            # otherwise recompute per consumer.  The small-mock fast path
+            # below consumes aw exactly once, so it skips the checkpoint.
+            aw = self._localckpt(aw, "asset_paths")
         pos = self._pos()
         page_w = page_paths.select("file_path", self._page_pos().alias("pos"))
 
@@ -880,7 +887,8 @@ class Crawler:
                                & (F.col("_first_ok").isNull()
                                   | (F.col("_pos") <= F.col("_first_ok"))))
                        .drop("_pos", "_is_asset", "_first_ok", "status"))
-            return self._localckpt(allowed, "assets_allowed"), None
+            return (self._localckpt(self._observe_allowed(allowed),
+                                    "assets_allowed"), None)
 
         # live collision pre-filter: an asset can only be fileExists-blocked
         # if its path (a) repeats within this epoch's admitted assets, (b)
@@ -911,7 +919,28 @@ class Crawler:
         if deferred.isEmpty():
             deferred = None
         allowed = clean.unionByName(kept)
-        return self._localckpt(allowed, "assets_allowed"), deferred
+        return (self._localckpt(self._observe_allowed(allowed),
+                                "assets_allowed"), deferred)
+
+    def _observe_allowed(self, allowed: DataFrame) -> DataFrame:
+        """Attach free aggregate metrics to the assets_allowed checkpoint
+        (pyspark Observation rides the checkpoint's own job): total row
+        count (sizes the asset-fetch broadcast gate) and the fixpoint's
+        link-asset signature — previously two extra driver jobs per epoch.
+        bit_xor, not sum: the signature only needs order-insensitivity,
+        and summing xxhash64 values overflows under ANSI mode."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        link = F.col("stage_rank") == 1
+        out = allowed.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_allowed"),
+            F.count(F.when(link, 1)).alias("n_link"),
+            F.bit_xor(F.when(link, F.xxhash64("parent_seq", "intra1",
+                                              "url"))).alias("h_link"))
+        self._fs_obs = obs
+        return out
 
     def _discover_css(self, link_surv: DataFrame) -> DataFrame | None:
         """cssProcessor discovery (scraper/download.go:104-131): fetch each
@@ -1004,10 +1033,13 @@ class Crawler:
         candidates whose predecessors all failed, one wave per chain level —
         the exact sequential fileExists semantics."""
         if not self.live:
-            # allowed is checkpointed; its count (an upper bound on the
-            # distinct url set) cheaply sizes the broadcast gate
+            # the allowed row count (an upper bound on the distinct url
+            # set) sizes the broadcast gate; it was observed during the
+            # assets_allowed checkpoint — no count() job
+            n_allowed = self._fs_obs.get["n_allowed"] \
+                if self._fs_obs is not None else allowed.count()
             fetched = self._do_fetch(allowed.select("url").distinct(),
-                                     approx_rows=allowed.count()) \
+                                     approx_rows=n_allowed) \
                           .select("url", "body", "status", "attempts")
             joined = self._schedule(allowed).join(fetched, on="url", how="left")
             return self._asset_log_select(joined, epoch)

@@ -123,3 +123,29 @@ def test_stage_secs_attribution_table(spark):
         assert label in c.stage_secs, label
         assert c.stage_secs[label] >= 0.0
     json.dumps(c.stage_secs)
+
+
+def test_fixpoint_signature_many_link_assets(spark):
+    """64 stylesheets surviving in one epoch: the fixpoint signature must
+    not overflow (the pre-round-5 sum of xxhash64 values raised
+    ARITHMETIC_OVERFLOW under ANSI mode with enough link assets; the
+    bit_xor observation cannot).  Full parity: every sheet and every
+    absolute url() image is fetched exactly once, in reference order."""
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.plans.simulator import crawl_sequential
+
+    links = "".join(f'<link rel="stylesheet" href="/c{i}.css">'
+                    for i in range(64))
+    pages = {"https://example.org/": f"<html>{links}</html>"}
+    for i in range(64):
+        pages[f"https://example.org/c{i}.css"] = \
+            f"h1 {{ background: url(https://example.org/img{i}.png) }}"
+        pages[f"https://example.org/img{i}.png"] = f"P{i}"
+    cfg = CrawlConfig(url="https://example.org/")
+
+    sim = crawl_sequential(cfg, pages)
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    assert res.seen_set() == sim.seen
+    assert [(r.url, r.status) for r in res.ordered_fetches()] == \
+        [(f.url, f.status) for f in sim.fetches]
+    assert len(sim.seen) == 1 + 64 + 64
