@@ -1212,7 +1212,10 @@ def _video_frames_real_sql() -> str:
                          "undecodable"))
             continue
         frames, usec = dec
-        dur_ms = len(frames) * usec // 1000
+        # same sampled-timestamp bound as the operator (multimodal.py) —
+        # fixture payloads sit far below it, so no oracle rows change
+        from goscrape_spark.operators.multimodal import MAX_VIDEO_SAMPLES
+        dur_ms = min(len(frames) * usec // 1000, MAX_VIDEO_SAMPLES * 600)
         for ts in range(0, max(dur_ms, 1), 600):
             if i == 0 and ts == 0:
                 continue                                     # hand row

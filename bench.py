@@ -838,43 +838,43 @@ _SCALING_MODE = (
     "not job-latency-bound)")
 
 
-def _scaling_doc() -> None:
-    """Scaling evidence for the north_rule (N -> 4N, efficiency >= 0.8),
-    at TWO bracketing level pairs: 1 -> 4 and 4 -> 16 worker cores.
-
-    Level choice: BASELINE.md's sandbox protocol names local[8] -> local[32]
-    as the nominal pair, but on this 32-core host each Spark task pairs a
-    JVM thread with a Python/Arrow worker (~2 runnable threads per task),
-    so local[32] schedules ~64 runnable threads on 32 cores and understates
-    what a real 4N-executor cluster provides.  The evidence is therefore
-    two pairs that both fit the host — 1 -> 4 and 4 -> 16 (up to 32 busy
-    threads) — bracketing the claim instead of defending one deviation.
-
-    Pair protocol (what each _scaling_one run does): the host throttles
-    under sustained load (identical runs vary up to ~8x, stalls last
-    minutes), so each pair runs its levels INTERLEAVED (A,B,A,B — two
-    visits per level) in ONE subprocess/warm JVM with the whole process
-    tree CPU-PINNED to exactly the level's core count; per visit, 1
-    untimed execution pays codegen/JIT/plan (amortized to ~0 at the
-    10^7-page production epoch sizes the BASELINE.md model projects) then
-    2 timed full re-executions; the level time is the MIN over its 4 runs
-    across both visits (two separated time windows, so a sustained stall
-    cannot wipe a level).  The pair's speedup is a throughput RATIO from
-    the same few minutes, so host drift largely cancels; the reported
-    efficiency is the MEDIAN of SPARK_GRAFT_SCALING_REPS pair speedups
-    divided by 4.  All raw samples are emitted.
-
-    The 4->16 secondary pair saturates the shared single-JVM substrate (one
-    Arrow IPC allocator, one shuffle service, one NVMe) that a real
-    4N-executor cluster multiplies — reported as supplementary bracketing
-    evidence with that context (see BENCH.md).  The multi-JVM variant of
-    that pair (4 executor JVMs via local-cluster[4,4]) measured 0.398 in
-    round 4 — splitting JVMs on ONE host adds netty/serialization cost
-    without adding hardware — and is off by default
-    (SPARK_GRAFT_SCALING_MULTIJVM=1 re-enables).
-
-    This function is documentation only; main() drives _scaling_one per
-    pair so the cumulative summary can be snapshotted between pairs."""
+# Scaling methodology (drives _scaling_one; see also _SCALING_MODE):
+# Scaling evidence for the north_rule (N -> 4N, efficiency >= 0.8),
+# at TWO bracketing level pairs: 1 -> 4 and 4 -> 16 worker cores.
+#
+# Level choice: BASELINE.md's sandbox protocol names local[8] -> local[32]
+# as the nominal pair, but on this 32-core host each Spark task pairs a
+# JVM thread with a Python/Arrow worker (~2 runnable threads per task),
+# so local[32] schedules ~64 runnable threads on 32 cores and understates
+# what a real 4N-executor cluster provides.  The evidence is therefore
+# two pairs that both fit the host — 1 -> 4 and 4 -> 16 (up to 32 busy
+# threads) — bracketing the claim instead of defending one deviation.
+#
+# Pair protocol (what each _scaling_one run does): the host throttles
+# under sustained load (identical runs vary up to ~8x, stalls last
+# minutes), so each pair runs its levels INTERLEAVED (A,B,A,B — two
+# visits per level) in ONE subprocess/warm JVM with the whole process
+# tree CPU-PINNED to exactly the level's core count; per visit, 1
+# untimed execution pays codegen/JIT/plan (amortized to ~0 at the
+# 10^7-page production epoch sizes the BASELINE.md model projects) then
+# 2 timed full re-executions; the level time is the MIN over its 4 runs
+# across both visits (two separated time windows, so a sustained stall
+# cannot wipe a level).  The pair's speedup is a throughput RATIO from
+# the same few minutes, so host drift largely cancels; the reported
+# efficiency is the MEDIAN of SPARK_GRAFT_SCALING_REPS pair speedups
+# divided by 4.  All raw samples are emitted.
+#
+# The 4->16 secondary pair saturates the shared single-JVM substrate (one
+# Arrow IPC allocator, one shuffle service, one NVMe) that a real
+# 4N-executor cluster multiplies — reported as supplementary bracketing
+# evidence with that context (see BENCH.md).  The multi-JVM variant of
+# that pair (4 executor JVMs via local-cluster[4,4]) measured 0.398 in
+# round 4 — splitting JVMs on ONE host adds netty/serialization cost
+# without adding hardware — and is off by default
+# (SPARK_GRAFT_SCALING_MULTIJVM=1 re-enables).
+#
+# This function is documentation only; main() drives _scaling_one per
+# pair so the cumulative summary can be snapshotted between pairs.
 
 
 if __name__ == "__main__":

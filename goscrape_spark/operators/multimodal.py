@@ -187,6 +187,14 @@ VIDEO_FRAMES_REAL_SCHEMA = ("media_id string, ts_ms long, frame_idx int, "
                             "height int, width int, mean_lum double, "
                             "decode_status string")
 
+# Untrusted-payload bound: the sampled-timestamp loop is driven by
+# dur_ms = n_frames * avih usec_per_frame, and a crafted header
+# (usec_per_frame up to 0xFFFFFFFF) can push dur_ms to ~1e11 ms from a
+# few-KB payload — without a cap that is billions of loop iterations in
+# one Python task.  10,800 samples = 3 h of video at the default 1 s
+# sampling interval; beyond it sampling truncates deterministically.
+MAX_VIDEO_SAMPLES = 10_800
+
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                         decode: str = "fake") -> DataFrame:
@@ -222,7 +230,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000,
                                      "undecodable"))
                         continue
                     frames, usec = dec
-                    dur_ms = len(frames) * usec // 1000
+                    dur_ms = min(len(frames) * usec // 1000,
+                                 MAX_VIDEO_SAMPLES * every_ms)
                     for ts in range(0, max(dur_ms, 1), every_ms):
                         idx = min(ts * 1000 // usec, len(frames) - 1)
                         img = jpeg_decode(frames[idx])

@@ -583,7 +583,7 @@ class Crawler:
         job, cached for the crawl; sizes the broadcast gate on BYTES."""
         if self._pages_count is None:
             row = self._pages_slim().agg(
-                F.count(F.lit(1)), F.sum(F.length("url"))).first()
+                F.count(F.lit(1)), F.sum(F.octet_length("url"))).first()
             self._pages_count = int(row[0])
             self._pages_url_bytes = int(row[1] or 0)
         return self._pages_count, self._pages_url_bytes

@@ -30,17 +30,13 @@ BODY = int(os.environ.get("ARROW_SWEEP_BODY", "6144"))
 
 
 def _set_tree_affinity(n: int) -> None:
-    cpus = set(range(n))
-    try:
-        os.sched_setaffinity(0, cpus)
-        for pid in os.listdir("/proc"):
-            if pid.isdigit():
-                try:
-                    os.sched_setaffinity(int(pid), cpus)
-                except (OSError, ValueError):
-                    pass
-    except (AttributeError, OSError):
-        pass
+    """Pin THIS process tree (JVM + Arrow workers, every thread) to the
+    TOP ``n`` cores — bench.py's protocol.  The first version of this
+    script pinned every pid on the HOST to cores 0..n-1 (and never
+    restored them) while missing the JVM's existing threads entirely;
+    reuse the bench implementation instead of re-deriving it."""
+    import bench
+    bench._set_tree_affinity(n)
 
 
 def _cell(cores: int, batch: int, largevar: bool,

@@ -95,3 +95,26 @@ def test_sample_video_frames_real_constant_frame_exact():
     level shift puts DC at zero), so mean_lum is exactly 128."""
     img = jpeg_decode(jpeg_encode(_frame(128), 75))
     assert (img == 128).all()
+
+
+def test_sample_video_frames_bomb_header_is_bounded(spark):
+    """A crafted avih usec_per_frame of 0xFFFFFFFF would make
+    dur_ms = n_frames * usec // 1000 ~ 1.7e7 ms from ONE tiny frame —
+    without the MAX_VIDEO_SAMPLES cap the sampling loop iterates
+    dur_ms/every_ms times per video (billions for bigger payloads).
+    The cap must bound the row count and the task must finish fast."""
+    from goscrape_spark.operators.multimodal import (
+        MAX_VIDEO_SAMPLES,
+        sample_video_frames,
+    )
+
+    bomb = avi_mjpeg_encode([jpeg_encode(_frame(77), 80)] * 4, 0xFFFFFFFF)
+    media = spark.createDataFrame(
+        [("vid://bomb", "video", bytearray(bomb),
+          ("avi", None, None, None))],
+        "media_id string, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>")
+    rows = sample_video_frames(media, every_ms=1000, decode="real").collect()
+    assert 0 < len(rows) <= MAX_VIDEO_SAMPLES
+    # all sampled rows still decode the real (single) frame
+    assert {r.decode_status for r in rows} == {"real"}
