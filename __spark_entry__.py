@@ -246,6 +246,38 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "path"))
 
 
+# RFC 9309 fixture exercising every matcher feature over the /c{0-36}/
+# doc-{0-100}[/] path shapes: plain prefix, longer-Allow override,
+# *-wildcard with $ end anchor, and the longest-match interplay
+# (/c12/doc-7 matches Allow /c12 (len 4) AND Disallow /*doc-7$ (len 8) —
+# the longer Disallow wins).
+_ROBOTS_RFC_TXT = """User-agent: *
+Disallow: /c1
+Allow: /c1/doc-2*
+Disallow: /*doc-7$
+Allow: /c12
+"""
+
+
+def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 (full RFC 9309 form): Allow/Disallow + wildcard rules, longest
+    match wins, Allow wins ties — broadcast rules join + max_by verdict
+    (operators/politeness.apply_robots_rfc)."""
+    from goscrape_spark.functions.robotstxt import parse_robots
+    from goscrape_spark.operators.politeness import (
+        apply_robots_rfc,
+        rfc_rules_df,
+    )
+
+    k = _keyed(_docs(spark, sf_dir)).select("doc_id", "host", "path")
+    hosts = [r.host for r in k.select("host").distinct().collect()
+             if r.host != "cdn.external.net"]
+    parsed = {h: parse_robots(_ROBOTS_RFC_TXT, agent="goscrape")
+              for h in hosts}
+    return (apply_robots_rfc(k, rfc_rules_df(spark, parsed))
+            .select("doc_id", "host", "path"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goscrape_spark.operators.dedup import exact_dedup
 
@@ -796,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "sorted_refs": q_sorted_refs,
         "robots_filter": q_robots_filter,
+        "robots_rfc_match": q_robots_rfc,
         "exact_dedup": q_exact_dedup,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
@@ -1335,6 +1368,34 @@ def oracle_sql() -> dict[str, str]:
         "robots_filter": f"WITH {_SQL_PARSED} "
             "SELECT doc_id, host, path FROM keyed "
             "WHERE NOT (host <> 'cdn.external.net' AND path LIKE '/c1%')",
+
+        # RFC 9309 matcher: the rule regexes below are HAND-WRITTEN from
+        # _ROBOTS_RFC_TXT (not generated by functions.robotstxt.rule_regex),
+        # so the oracle independently checks the pattern->regex translation
+        # and the longest-match/allow-tie verdict logic.  Specificity key:
+        # rule_len*2 + is_allow == the lexicographic (rule_len, is_allow)
+        # struct max the Spark side takes.
+        "robots_rfc_match": f"""WITH {_SQL_PARSED},
+            rrules AS (
+              SELECT DISTINCT k.host, r.* FROM keyed k,
+                (VALUES (FALSE, '^/c1',          3),
+                        (TRUE,  '^/c1/doc-2.*', 10),
+                        (FALSE, '^/.*doc-7$',    8),
+                        (TRUE,  '^/c12',         4))
+                 r(is_allow, regex, rule_len)
+              WHERE k.host <> 'cdn.external.net'),
+            verdicts AS (
+              SELECT k.host, k.path,
+                     max_by(r.is_allow,
+                            r.rule_len * 2 + CAST(r.is_allow AS INT))
+                       AS allow
+              FROM (SELECT DISTINCT host, path FROM keyed) k
+              JOIN rrules r ON r.host = k.host
+                           AND regexp_matches(k.path, r.regex)
+              GROUP BY k.host, k.path)
+            SELECT k.doc_id, k.host, k.path FROM keyed k
+            LEFT JOIN verdicts v ON v.host = k.host AND v.path = k.path
+            WHERE v.allow IS NULL OR v.allow""",
 
         "exact_dedup": """
             SELECT md5(text) AS text_hash, min(doc_id) AS rep_id,

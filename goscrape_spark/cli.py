@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image recode quality 1-99, 0=off")
     p.add_argument("--politeness-ms", type=int, default=0,
                    help="per-host politeness delay (rebuild extension)")
+    p.add_argument("--robots", action="store_true",
+                   help="fetch and honor the seed host's robots.txt "
+                        "(RFC 9309; rebuild extension)")
     p.add_argument("--pages-parquet", default="",
                    help="mock web parquet (url, body, resp_url, retry_after)")
     p.add_argument("--checkpoint", default="", help="epoch checkpoint dir")
@@ -110,6 +113,7 @@ def run(argv: list[str], spark=None) -> int:
                 user_agent=args.useragent, timeout=args.timeout,
                 proxy=args.proxy, image_quality=quality,
                 politeness_delay_ms=args.politeness_ms,
+                fetch_robots=args.robots,
                 headers=parse_headers(args.header), cookies=cookies)
             pages, live = None, True
             if args.pages_parquet:

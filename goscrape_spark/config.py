@@ -37,6 +37,12 @@ class CrawlConfig:
     retry_delay_ms: int = 1500          # scraper/http.go:20
     politeness_delay_ms: int = 0        # per-host minimum fetch spacing (J5)
     robots_rules: dict[str, list[str]] = field(default_factory=dict)  # host -> disallow path prefixes (J4)
+    # RFC 9309 robots (J4 full form): host -> raw robots.txt text, parsed
+    # with functions.robotstxt.parse_robots for the crawler's product token
+    # (user_agent's first word, or '*').  fetch_robots=True additionally
+    # fetches the seed host's /robots.txt live at crawl start.
+    robots_txt: dict[str, str] = field(default_factory=dict)
+    fetch_robots: bool = False
 
     def compiled_includes(self) -> list[re.Pattern]:
         return [re.compile(p) for p in self.includes]

@@ -1,0 +1,104 @@
+"""robots.txt parsing + rule matching (RFC 9309 subset).
+
+North_rule extension (the reference has no robots support — BASELINE.json
+names "robots" as part of the frontier design).  This module is the pure
+logic; the distributed matcher is ``operators.politeness.apply_robots_rfc``
+and the live fetch hook is in ``plans/crawl.py``.
+
+Implemented per RFC 9309:
+
+* record groups: one or more consecutive ``User-agent`` lines followed by
+  ``Allow`` / ``Disallow`` rules; non-group lines (``Sitemap`` etc.) are
+  ignored and do NOT break a group;
+* group selection: the group whose user-agent token is the LONGEST
+  case-insensitive prefix of the product token wins; ``*`` matches any
+  product and is used only when no specific group matches (RFC 9309 §2.2.1);
+* rule matching: ``*`` matches any character sequence, ``$`` anchors the
+  end-of-path; rules are percent-encoded octet prefixes otherwise;
+* precedence: the MOST SPECIFIC match (longest pattern) wins; on a tie an
+  ``Allow`` rule wins (§2.2.2); no match ⇒ allowed;
+* an empty ``Disallow:`` value means "allow everything" and contributes no
+  rule.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt for ``agent`` -> ordered ``(pattern, is_allow)``.
+
+    ``agent`` is the product token (e.g. ``goscrape``); matching follows
+    RFC 9309 §2.2.1 — the group with the longest user-agent token that is
+    a case-insensitive prefix of ``agent`` applies, falling back to the
+    ``*`` group.  Multiple groups for the same agent merge (§2.2.1).
+    """
+    agent_lc = agent.lower()
+    # groups[token] -> list of (pattern, is_allow)
+    groups: dict[str, list[tuple[str, bool]]] = {}
+    cur_tokens: list[str] = []
+    in_ua_run = False  # consecutive User-agent lines stack into one head
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_ua_run:
+                cur_tokens = []
+            in_ua_run = True
+            cur_tokens.append(value.lower())
+            for t in cur_tokens:
+                groups.setdefault(t, [])
+        elif field in ("allow", "disallow"):
+            in_ua_run = False
+            if not value:
+                continue  # empty Disallow/Allow contributes nothing
+            for t in cur_tokens:
+                groups.setdefault(t, []).append((value, field == "allow"))
+        else:
+            # Sitemap/Crawl-delay/unknown: not rules, do not break the group
+            in_ua_run = False
+
+    # group selection: longest token that prefixes the product token
+    best: str | None = None
+    for token in groups:
+        if token != "*" and agent_lc.startswith(token):
+            if best is None or len(token) > len(best):
+                best = token
+    if best is not None:
+        return groups[best]
+    return groups.get("*", [])
+
+
+def rule_regex(pattern: str) -> str:
+    """robots rule pattern -> an anchored regex in the Java/RE2 common
+    subset (portable across Spark ``rlike`` and DuckDB ``regexp_matches``):
+    ``*`` -> ``.*``, trailing ``$`` -> end anchor, everything else literal,
+    match anchored at the path start."""
+    anchored_end = pattern.endswith("$")
+    if anchored_end:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    body = ".*".join(parts)
+    return "^" + body + ("$" if anchored_end else "")
+
+
+def match_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """Reference (sequential) matcher: most-specific rule wins, Allow wins
+    length ties, no match allows.  The distributed matcher
+    (``apply_robots_rfc``) must agree with this function exactly — it is
+    the oracle for tests."""
+    best: tuple[int, bool] | None = None
+    for pattern, is_allow in rules:
+        if re.match(rule_regex(pattern), path) is None:
+            continue
+        # specificity key: pattern length (RFC 9309 §2.2.2), allow wins
+        # ties (True > False in the tuple compare)
+        key = (len(pattern), is_allow)
+        if best is None or key > best:
+            best = key
+    return True if best is None else best[1]

@@ -84,3 +84,44 @@ def apply_robots(candidates: DataFrame, rules: DataFrame,
         "inner")
         .select(host_col, path_col).distinct())
     return candidates.join(hits, on=[host_col, path_col], how="left_anti")
+
+
+def rfc_rules_df(spark, parsed: dict[str, list[tuple[str, bool]]]) -> DataFrame:
+    """RFC 9309 rules table from ``host -> parse_robots(...) output``.
+    Columns: host, pattern, regex (Java/RE2 common subset), is_allow,
+    rule_len (the §2.2.2 specificity key)."""
+    from ..functions.robotstxt import rule_regex
+    rows = [(host, pat, rule_regex(pat), allow, len(pat))
+            for host, rules in parsed.items()
+            for pat, allow in rules]
+    return spark.createDataFrame(
+        rows or [], "host string, pattern string, regex string, "
+                    "is_allow boolean, rule_len int")
+
+
+def apply_robots_rfc(candidates: DataFrame, rules: DataFrame,
+                     host_col: str = "host",
+                     path_col: str = "path") -> DataFrame:
+    """RFC 9309 matcher over a candidates frame: most-specific rule wins
+    (longest pattern), Allow wins length ties, no matching rule allows.
+
+    Distributed shape: the per-host rules table broadcasts (a robots file
+    is bounded; RFC 9309 only requires parsing the first 500 KiB), each
+    candidate joins only its host's rules, the regex match runs JVM-side
+    (``rlike``), and the winning rule per (host, path) is a max_by hash
+    aggregate over the (rule_len, is_allow) specificity key — partial
+    map-side combine, no window, no skew pile-up on hot hosts.  Must agree
+    exactly with functions.robotstxt.match_allowed (unit-tested)."""
+    verdict_key = F.struct(F.col("rule_len"), F.col("is_allow"))
+    blocked = (candidates.select(host_col, path_col).distinct()
+               .join(F.broadcast(rules.withColumnRenamed("host", "_r_host")),
+                     (F.col(host_col) == F.col("_r_host"))
+                     # column-valued regex: RLIKE via expr (Column.rlike
+                     # only takes a literal pattern)
+                     & F.expr(f"{path_col} RLIKE regex"),
+                     "inner")
+               .groupBy(host_col, path_col)
+               .agg(F.max_by(F.col("is_allow"), verdict_key).alias("_allow"))
+               .filter(~F.col("_allow"))
+               .select(host_col, path_col))
+    return candidates.join(blocked, on=[host_col, path_col], how="left_anti")

@@ -125,6 +125,14 @@ class Crawler:
         if config.robots_rules:
             from ..operators.politeness import robots_rules_df
             self.robots = robots_rules_df(spark, config.robots_rules)
+        # RFC 9309 robots (full Allow/Disallow/wildcard form): rules table
+        # built from configured robots.txt texts; live crawls may add the
+        # seed host's fetched robots.txt in run() (fetch_robots=True)
+        self.robots_rfc = None
+        self._robots_parsed: dict[str, list] = {}
+        if config.robots_txt:
+            for host, text in config.robots_txt.items():
+                self._add_robots_txt(host, text)
         self.checkpoint = checkpoint
         self.max_epochs = max_epochs
         # collapse the seen/written union chains into one checkpointed
@@ -153,9 +161,50 @@ class Crawler:
         self.seed_host = u.host
 
     # ------------------------------------------------------------------
+    def _robots_agent(self) -> str:
+        """RFC 9309 product token for group selection: the first token of
+        the configured User-Agent (before any '/version'), else '*'."""
+        ua = self.config.user_agent.strip()
+        return ua.split("/")[0].split(" ")[0].lower() if ua else "*"
+
+    def _add_robots_txt(self, host: str, text: str) -> None:
+        from ..functions.robotstxt import parse_robots
+        from ..operators.politeness import rfc_rules_df
+        rules = parse_robots(text, agent=self._robots_agent())
+        if not rules:
+            return
+        self._robots_parsed[host] = rules
+        self.robots_rfc = rfc_rules_df(self.spark, self._robots_parsed)
+
+    def _fetch_seed_robots(self) -> None:
+        """Live mode, fetch_robots=True: one driver-side GET of the seed
+        host's /robots.txt at crawl start (like the 1-row seed rebase, a
+        single bounded driver round-trip).  RFC 9309 §2.3.1: fetch errors
+        mean no restrictions; §2.5: parse at most the first 500 KiB."""
+        import urllib.error
+        import urllib.request
+        url = f"{self.seed.scheme}://{self.seed_host}/robots.txt"
+        headers = dict(self.config.headers)
+        if self.config.user_agent:
+            headers["User-Agent"] = self.config.user_agent
+        handlers = []
+        if self.config.proxy:
+            handlers.append(urllib.request.ProxyHandler(
+                {"http": self.config.proxy, "https": self.config.proxy}))
+        opener = urllib.request.build_opener(*handlers)
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with opener.open(req, timeout=self.config.timeout or 30) as r:
+                text = r.read(500 * 1024).decode("utf-8", "replace")
+        except (urllib.error.URLError, OSError, ValueError):
+            return
+        self._add_robots_txt(self.seed_host, text)
+
     def run(self, resume: bool = False) -> CrawlResult:
         spark = self.spark
         cfg = self.config
+        if self.live and cfg.fetch_robots:
+            self._fetch_seed_robots()
 
         resumed = None
         if resume and self.checkpoint is not None:
@@ -772,6 +821,9 @@ class Crawler:
             if self.robots is not None:
                 from ..operators.politeness import apply_robots
                 survivors = apply_robots(survivors, self.robots)
+            if self.robots_rfc is not None:
+                from ..operators.politeness import apply_robots_rfc
+                survivors = apply_robots_rfc(survivors, self.robots_rfc)
             allowed, deferred = self._fs_admit(
                 survivors.filter(F.col("is_asset")), page_paths, written)
             link_surv = allowed.filter(F.col("stage_rank") == 1)

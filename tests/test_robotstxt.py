@@ -1,0 +1,206 @@
+"""RFC 9309 robots.txt parsing + distributed matching (north_rule J4
+extension — the reference has no robots support)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goscrape_spark.functions.robotstxt import (
+    match_allowed,
+    parse_robots,
+    rule_regex,
+)
+
+EXAMPLE = """
+# comments are stripped
+User-agent: *
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /*.gif$
+Disallow: /tmp
+
+User-agent: goscrape
+User-agent: otherbot
+Disallow: /goscrape-only/
+Allow: /
+
+Sitemap: https://example.org/sitemap.xml
+"""
+
+
+def test_group_selection_specific_beats_star():
+    rules = parse_robots(EXAMPLE, agent="goscrape")
+    assert ("/goscrape-only/", False) in rules
+    assert ("/private/", False) not in rules  # the * group does not merge
+
+
+def test_group_selection_star_fallback():
+    rules = parse_robots(EXAMPLE, agent="unrelatedbot")
+    assert ("/private/", False) in rules
+    assert ("/goscrape-only/", False) not in rules
+
+
+def test_group_selection_longest_token_wins():
+    text = ("User-agent: gos\nDisallow: /short/\n\n"
+            "User-agent: goscrape\nDisallow: /long/\n")
+    assert parse_robots(text, agent="goscrape-1.0") == [("/long/", False)]
+    assert parse_robots(text, agent="gosomething") == [("/short/", False)]
+
+
+def test_stacked_user_agents_share_rules():
+    rules = parse_robots(EXAMPLE, agent="otherbot")
+    assert ("/goscrape-only/", False) in rules
+
+
+def test_empty_disallow_contributes_nothing():
+    assert parse_robots("User-agent: *\nDisallow:\n") == []
+
+
+def test_rule_regex_wildcards_and_anchor():
+    assert rule_regex("/a*b$") == "^/a.*b$"
+    assert rule_regex("/p") == "^/p"
+    # regex metacharacters in paths stay literal
+    assert rule_regex("/a+b?.c") == "^/a\\+b\\?\\.c"
+
+
+@pytest.mark.parametrize("path,allowed", [
+    ("/private/secret.html", False),
+    ("/private/public.html", True),     # longer Allow beats Disallow
+    ("/banner.gif", False),             # /*.gif$ wildcard + anchor
+    ("/banner.gif.html", True),         # $ anchor does not match mid-path
+    ("/tmpfile", False),                # prefix rule, no trailing slash
+    ("/other", True),                   # no match -> allowed
+])
+def test_match_allowed_star_group(path, allowed):
+    rules = parse_robots(EXAMPLE, agent="nobody")
+    assert match_allowed(path, rules) is allowed
+
+
+def test_allow_wins_length_tie():
+    rules = [("/dir/", False), ("/dir/", True)]
+    assert match_allowed("/dir/x", rules) is True
+
+
+def test_distributed_matcher_agrees_with_reference(spark):
+    """apply_robots_rfc must agree with match_allowed on every
+    (host, path) — the sequential matcher is the oracle."""
+    from goscrape_spark.operators.politeness import (
+        apply_robots_rfc,
+        rfc_rules_df,
+    )
+
+    parsed = {
+        "a.org": parse_robots(EXAMPLE, agent="nobody"),
+        "b.org": [("/x*y$", False), ("/x", True)],
+        # host with no rules at all: everything allowed
+    }
+    paths = ["/private/secret.html", "/private/public.html", "/banner.gif",
+             "/banner.gif.html", "/tmp", "/tmpfile", "/other", "/",
+             "/xzzy", "/xzz", "/x", "/y"]
+    cands = [(h, p) for h in ("a.org", "b.org", "c.org") for p in paths]
+    df = spark.createDataFrame(cands, "host string, path string")
+    got = {(r.host, r.path) for r in
+           apply_robots_rfc(df, rfc_rules_df(spark, parsed)).collect()}
+    want = {(h, p) for h, p in cands
+            if match_allowed(p, parsed.get(h, []))}
+    assert got == want
+
+
+ROBOTS_SITE = {
+    "/robots.txt": ("User-agent: goscrape\n"
+                    "Disallow: /private/\n"
+                    "Allow: /private/ok.html\n"
+                    "Disallow: /*.zip$\n"),
+    "/": ('<html><a href="/private/x.html">x</a>'
+          '<a href="/private/ok.html">ok</a>'
+          '<a href="/data.zip">z</a><a href="/pub.html">p</a></html>'),
+    "/private/x.html": "<html>blocked</html>",
+    "/private/ok.html": "<html>allowed by longer Allow</html>",
+    "/data.zip": "<html>blocked by wildcard</html>",
+    "/pub.html": "<html>public</html>",
+}
+
+
+@pytest.fixture(scope="module")
+def robots_server():
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = ROBOTS_SITE.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_live_crawl_fetches_and_honors_robots(spark, robots_server):
+    """fetch_robots=True: the seed host's robots.txt is fetched once at
+    crawl start and its RFC 9309 rules gate admission — blocked paths are
+    never fetched but still enter seen (insert-before-reject, like
+    F7/F8)."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+
+    cfg = CrawlConfig(url=f"{robots_server}/",
+                      user_agent="goscrape/6.6", fetch_robots=True)
+    res = crawl(spark, cfg, pages=None, live=True)
+    fetched = {r.url.split(robots_server)[1] for r in res.ordered_fetches()}
+    assert fetched == {"/", "/private/ok.html", "/pub.html"}
+    # robots-blocked URLs are still inserted before rejection
+    assert {"/private/x.html", "/data.zip"} <= res.seen_set()
+
+
+def test_mock_crawl_config_robots_txt(spark):
+    """robots_txt config (host -> text) applies without any live fetch;
+    group selection uses the configured User-Agent product token."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://robots.example"
+    pages = {
+        f"{base}/": ('<html><a href="/private/x.html">x</a>'
+                     '<a href="/pub.html">p</a></html>'),
+        f"{base}/private/x.html": "<html>blocked</html>",
+        f"{base}/pub.html": "<html>public</html>",
+    }
+    cfg = CrawlConfig(
+        url=f"{base}/", user_agent="goscrape/6.6",
+        robots_txt={"robots.example": ROBOTS_SITE["/robots.txt"]})
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    fetched = {r.url.split(base)[1] for r in res.ordered_fetches()}
+    assert fetched == {"/", "/pub.html"}
+    assert "/private/x.html" in res.seen_set()
+
+
+def test_apply_robots_rfc_plan_shape(spark):
+    """Scale shape: rules broadcast; the per-(host,path) verdict is a HASH
+    aggregate (partial map-side combine below the exchange — skew-proof on
+    hot hosts), not a window; no SortMergeJoin for the rule match."""
+    from goscrape_spark.operators.politeness import (
+        apply_robots_rfc,
+        rfc_rules_df,
+    )
+
+    cands = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"),
+                 F.lit(".org")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("id").cast("string")).alias("path"))
+    rules = rfc_rules_df(spark, {"h0.org": [("/p/1*", False)]})
+    plan = (apply_robots_rfc(cands, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
