@@ -26,17 +26,11 @@ from __future__ import annotations
 import re
 
 
-def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """Parse robots.txt for ``agent`` -> ordered ``(pattern, is_allow)``.
-
-    ``agent`` is the product token (e.g. ``goscrape``); matching follows
-    RFC 9309 §2.2.1 — the group with the longest user-agent token that is
-    a case-insensitive prefix of ``agent`` applies, falling back to the
-    ``*`` group.  Multiple groups for the same agent merge (§2.2.1).
-    """
-    agent_lc = agent.lower()
-    # groups[token] -> list of (pattern, is_allow)
-    groups: dict[str, list[tuple[str, bool]]] = {}
+def _parse_groups(text: str) -> dict[str, dict]:
+    """Collect groups: ``token -> {"rules": [(pattern, is_allow)...],
+    "delay": float | None}``.  Shared by :func:`parse_robots` and
+    :func:`parse_crawl_delay`."""
+    groups: dict[str, dict] = {}
     cur_tokens: list[str] = []
     in_ua_run = False  # consecutive User-agent lines stack into one head
     for raw in text.splitlines():
@@ -52,18 +46,37 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
             in_ua_run = True
             cur_tokens.append(value.lower())
             for t in cur_tokens:
-                groups.setdefault(t, [])
+                groups.setdefault(t, {"rules": [], "delay": None})
         elif field in ("allow", "disallow"):
             in_ua_run = False
             if not value:
                 continue  # empty Disallow/Allow contributes nothing
             for t in cur_tokens:
-                groups.setdefault(t, []).append((value, field == "allow"))
-        else:
-            # Sitemap/Crawl-delay/unknown: not rules, do not break the group
+                groups.setdefault(t, {"rules": [], "delay": None})
+                groups[t]["rules"].append((value, field == "allow"))
+        elif field == "crawl-delay":
+            # de-facto extension (Bing/Yandex; not in RFC 9309): seconds,
+            # fractional allowed, unparseable values ignored
             in_ua_run = False
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay < 0:
+                continue
+            for t in cur_tokens:
+                groups.setdefault(t, {"rules": [], "delay": None})
+                groups[t]["delay"] = delay
+        else:
+            # Sitemap/unknown: not rules, do not break the group
+            in_ua_run = False
+    return groups
 
-    # group selection: longest token that prefixes the product token
+
+def _select_group(groups: dict[str, dict], agent: str) -> dict | None:
+    """RFC 9309 §2.2.1 group selection: the group whose token is the
+    LONGEST case-insensitive prefix of the product token; ``*`` fallback."""
+    agent_lc = agent.lower()
     best: str | None = None
     for token in groups:
         if token != "*" and agent_lc.startswith(token):
@@ -71,7 +84,27 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
                 best = token
     if best is not None:
         return groups[best]
-    return groups.get("*", [])
+    return groups.get("*")
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """Parse robots.txt for ``agent`` -> ordered ``(pattern, is_allow)``.
+
+    ``agent`` is the product token (e.g. ``goscrape``); matching follows
+    RFC 9309 §2.2.1 — the group with the longest user-agent token that is
+    a case-insensitive prefix of ``agent`` applies, falling back to the
+    ``*`` group.
+    """
+    group = _select_group(_parse_groups(text), agent)
+    return group["rules"] if group else []
+
+
+def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
+    """``Crawl-delay`` (seconds) of the group selected for ``agent``, or
+    ``None``.  Same group selection as :func:`parse_robots`; the directive
+    is the de-facto Bing/Yandex extension, not part of RFC 9309."""
+    group = _select_group(_parse_groups(text), agent)
+    return group["delay"] if group else None
 
 
 def rule_regex(pattern: str) -> str:

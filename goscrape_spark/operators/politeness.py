@@ -28,15 +28,29 @@ from pyspark.sql import functions as F
 def schedule_politeness(df: DataFrame, delay_ms: int,
                         host_col: str = "host",
                         order_cols: list[str] | None = None,
-                        out_col: str = "not_before_ms") -> DataFrame:
+                        out_col: str = "not_before_ms",
+                        host_delays_ms: dict[str, int] | None = None) -> DataFrame:
     """Assign per-host fetch offsets: 0, delay, 2*delay, ... in consideration
     order.  Shuffles once on host — the same partitioning the fetch stage
-    needs anyway, so the exchange is reused."""
+    needs anyway, so the exchange is reused.
+
+    ``host_delays_ms`` (robots.txt ``Crawl-delay`` per host) overrides the
+    global delay where LARGER: the effective per-row delay is
+    ``greatest(delay_ms, host_delays_ms[host])``.  The map is a literal
+    column expression (bounded: one entry per robots-bearing host), so the
+    whole schedule stays inside whole-stage codegen — no extra join."""
     order_cols = order_cols or ["parent_seq", "stage_rank", "sub_rank",
                                 "intra1", "intra2"]
     w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    delay = F.lit(delay_ms).cast("long")
+    if host_delays_ms:
+        mapping = F.create_map(*[F.lit(x) for kv in host_delays_ms.items()
+                                 for x in kv])
+        delay = F.greatest(
+            delay, F.coalesce(mapping[F.col(host_col)].cast("long"),
+                              F.lit(0).cast("long")))
     return df.withColumn(
-        out_col, (F.row_number().over(w) - F.lit(1)).cast("long") * F.lit(delay_ms))
+        out_col, (F.row_number().over(w) - F.lit(1)).cast("long") * delay)
 
 
 def retry_backoff_ms(attempts: Column, retry_delay_ms: int = 1500) -> Column:

@@ -71,7 +71,8 @@ def config_cookie_dicts(config: CrawlConfig) -> list[dict]:
 
 def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
                   url_col: str = "url",
-                  session_cookies: list[dict] | None = None) -> DataFrame:
+                  session_cookies: list[dict] | None = None,
+                  host_delays_ms: dict[str, int] | None = None) -> DataFrame:
     """Fetch every frontier URL over real HTTP, one batch per host.
 
     Cookies ride a REAL per-batch http.cookiejar: the batch's jar starts
@@ -84,6 +85,11 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
     max_retries = config.max_retries
     retry_delay = config.retry_delay_ms / 1000.0
     politeness = config.politeness_delay_ms / 1000.0
+    # robots.txt Crawl-delay per host (seconds), merged max-wise with the
+    # configured global delay inside each host batch; tiny driver-built
+    # dict, captured in the closure (ships once per task, like headers)
+    host_delays = {h: ms / 1000.0
+                   for h, ms in (host_delays_ms or {}).items()}
     timeout = config.timeout or 30
     proxy = config.proxy
     headers = dict(config.headers)
@@ -143,10 +149,13 @@ def http_fetch_df(frontier: DataFrame, config: CrawlConfig,
 
         rows = {"url": [], "body": [], "resp_url": [], "status": [],
                 "attempts": []}
+        # effective per-host spacing: the larger of the configured global
+        # delay and this host's robots Crawl-delay (J5 + Crawl-delay ext.)
+        batch_delay = max(politeness, host_delays.get(str(key[0]), 0.0))
         first = True
         for url in sorted(pdf["url"]):
-            if not first and politeness > 0:
-                _time.sleep(politeness)
+            if not first and batch_delay > 0:
+                _time.sleep(batch_delay)
             first = False
             body, resp_url, status, attempts = None, url, "missing", 0
             for retries in range(max_retries + 2):

@@ -204,3 +204,138 @@ def test_apply_robots_rfc_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+# --- Crawl-delay (de-facto Bing/Yandex extension) ---------------------------
+
+
+def test_parse_crawl_delay_group_selection():
+    from goscrape_spark.functions.robotstxt import parse_crawl_delay
+
+    text = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+            "User-agent: goscrape\nCrawl-delay: 0.5\nAllow: /\n")
+    assert parse_crawl_delay(text, agent="goscrape") == 0.5
+    assert parse_crawl_delay(text, agent="otherbot") == 2.0
+
+
+def test_parse_crawl_delay_invalid_and_absent():
+    from goscrape_spark.functions.robotstxt import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    assert parse_crawl_delay("") is None
+    # a delay-only group is still a group (no rules needed)
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 3\n") == 3.0
+
+
+def test_crawl_delay_does_not_leak_into_rules():
+    from goscrape_spark.functions.robotstxt import parse_robots
+
+    rules = parse_robots("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n")
+    assert rules == [("/x", False)]
+
+
+def test_schedule_politeness_host_delays(spark):
+    """Per-host Crawl-delay overrides the global delay where LARGER; the
+    map lookup is a literal column expression (no join, no extra shuffle)."""
+    from goscrape_spark.operators.politeness import schedule_politeness
+
+    rows = [("a.org", i) for i in range(3)] + \
+           [("b.org", i) for i in range(3)] + \
+           [("c.org", i) for i in range(2)]
+    df = (spark.createDataFrame(rows, "host string, parent_seq int")
+          .withColumn("stage_rank", F.lit(0)).withColumn("sub_rank", F.lit(0))
+          .withColumn("intra1", F.lit(0)).withColumn("intra2", F.lit(0)))
+    out = schedule_politeness(df, 100,
+                              host_delays_ms={"b.org": 700, "c.org": 30})
+    got = {(r.host, r.parent_seq): r.not_before_ms for r in out.collect()}
+    assert [got[("a.org", i)] for i in range(3)] == [0, 100, 200]
+    assert [got[("b.org", i)] for i in range(3)] == [0, 700, 1400]
+    # smaller robots delay than the global: global wins (max semantics)
+    assert [got[("c.org", i)] for i in range(2)] == [0, 100]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # literal map, not a join
+
+
+def test_mock_crawl_delay_schedules_pages(spark):
+    """A robots.txt with ONLY a Crawl-delay (no rules) still paces the
+    crawl: page fetch offsets in the log follow the per-host window."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://delay.example"
+    pages = {
+        f"{base}/": ('<html><a href="/a.html">a</a><a href="/b.html">b</a>'
+                     '<a href="/c.html">c</a></html>'),
+        f"{base}/a.html": "<html>a</html>",
+        f"{base}/b.html": "<html>b</html>",
+        f"{base}/c.html": "<html>c</html>",
+    }
+    cfg = CrawlConfig(
+        url=f"{base}/", user_agent="goscrape/6.6",
+        robots_txt={"delay.example": "User-agent: *\nCrawl-delay: 0.25\n"})
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    by_epoch: dict[int, list[int]] = {}
+    for r in res.ordered_fetches():
+        if r.kind == "page":
+            by_epoch.setdefault(r.epoch, []).append(r.not_before_ms)
+    e_seed, e_links = sorted(by_epoch)
+    assert by_epoch[e_seed] == [0]
+    assert sorted(by_epoch[e_links]) == [0, 250, 500]
+
+
+def test_live_crawl_delay_spacing_measured():
+    """fetch_robots=True + a Crawl-delay directive: consecutive same-host
+    page fetches are spaced >= the delay ON THE WIRE (same assertion style
+    as test_politeness_spacing_measured_per_host)."""
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.session import get_spark
+
+    stamps: list[float] = []
+    site = {
+        "/robots.txt": "User-agent: *\nCrawl-delay: 0.3\n",
+        "/": ('<html><a href="/a.html">a</a><a href="/b.html">b</a>'
+              '<a href="/c.html">c</a></html>'),
+        "/a.html": "<html>a</html>",
+        "/b.html": "<html>b</html>",
+        "/c.html": "<html>c</html>",
+    }
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path != "/robots.txt":  # driver-side fetch, not paced
+                stamps.append(time.monotonic())
+            body = site.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark = get_spark("robots-delay-test")
+        cfg = CrawlConfig(url=f"http://127.0.0.1:{srv.server_port}/",
+                          fetch_robots=True)
+        res = crawl(spark, cfg, pages=None, live=True)
+        assert len(res.ordered_fetches()) == 4
+        # epoch 2 fetches a,b,c in one host batch: two consecutive gaps
+        epoch2 = sorted(stamps)[1:]
+        gaps = [b - a for a, b in zip(epoch2, epoch2[1:])]
+        assert len(gaps) == 2
+        assert all(g >= 0.3 - 0.02 for g in gaps), gaps
+    finally:
+        srv.shutdown()
