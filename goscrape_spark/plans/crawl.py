@@ -133,6 +133,9 @@ class Crawler:
         # robots Crawl-delay per host (ms), merged max-wise with the
         # configured politeness_delay_ms by the schedulers (J5)
         self._host_delay_ms: dict[str, int] = {}
+        # hosts whose robots.txt has been fetched (or failed) this crawl —
+        # each host is contacted for robots at most once
+        self._robots_fetched: set[str] = set()
         if config.robots_txt:
             for host, text in config.robots_txt.items():
                 self._add_robots_txt(host, text)
@@ -184,13 +187,20 @@ class Crawler:
         self.robots_rfc = rfc_rules_df(self.spark, self._robots_parsed)
 
     def _fetch_seed_robots(self) -> None:
-        """Live mode, fetch_robots=True: one driver-side GET of the seed
-        host's /robots.txt at crawl start (like the 1-row seed rebase, a
-        single bounded driver round-trip).  RFC 9309 §2.3.1: fetch errors
-        mean no restrictions; §2.5: parse at most the first 500 KiB."""
+        self._fetch_robots_txt(self.seed_host, self.seed.scheme)
+
+    def _fetch_robots_txt(self, host: str, scheme: str) -> None:
+        """Live mode, fetch_robots=True: one driver-side GET of a host's
+        /robots.txt (like the 1-row seed rebase, a single bounded driver
+        round-trip; each host is fetched AT MOST ONCE per crawl, failures
+        included).  RFC 9309 §2.3.1: fetch errors mean no restrictions;
+        §2.5: parse at most the first 500 KiB."""
         import urllib.error
         import urllib.request
-        url = f"{self.seed.scheme}://{self.seed_host}/robots.txt"
+        if host in self._robots_fetched:
+            return
+        self._robots_fetched.add(host)
+        url = f"{scheme or 'http'}://{host}/robots.txt"
         headers = dict(self.config.headers)
         if self.config.user_agent:
             headers["User-Agent"] = self.config.user_agent
@@ -205,7 +215,7 @@ class Crawler:
                 text = r.read(500 * 1024).decode("utf-8", "replace")
         except (urllib.error.URLError, OSError, ValueError):
             return
-        self._add_robots_txt(self.seed_host, text)
+        self._add_robots_txt(host, text)
 
     def run(self, resume: bool = False) -> CrawlResult:
         spark = self.spark
@@ -830,6 +840,19 @@ class Crawler:
                                        cfg.excludes, bloom=self.bloom)
             inserts = self._localckpt(inserts, "inserts")
             survivors = inserts.filter(F.col("survived"))
+            if self.live and cfg.fetch_robots:
+                # cross-host assets (and CSS-discovered refs) are gated by
+                # THEIR host's robots.txt: fetch each newly-seen host's
+                # file once, driver-side.  The distinct scan reads the
+                # just-checkpointed inserts (cheap) and the collect is
+                # bounded by the crawl's distinct host count — the same
+                # budget class as the per-epoch cookie harvest.
+                new_hosts = sorted(
+                    (r.host, r.scheme) for r in survivors
+                    .select("host", "scheme").distinct().collect()
+                    if r.host and r.host not in self._robots_fetched)
+                for h, sc in new_hosts:
+                    self._fetch_robots_txt(h, sc)
             if self.robots is not None:
                 from ..operators.politeness import apply_robots
                 survivors = apply_robots(survivors, self.robots)

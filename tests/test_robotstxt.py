@@ -339,3 +339,69 @@ def test_live_crawl_delay_spacing_measured():
         assert all(g >= 0.3 - 0.02 for g in gaps), gaps
     finally:
         srv.shutdown()
+
+
+def test_live_cross_host_assets_honor_their_hosts_robots(spark):
+    """fetch_robots=True gates cross-host ASSETS by their own host's
+    robots.txt: each newly-discovered host's file is fetched exactly once
+    (driver-side, cached), and its rules apply to that host's assets."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+
+    logs: dict[int, list[str]] = {}
+
+    def serve(site: dict[str, bytes]):
+        class H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                logs.setdefault(self.server.server_port, []).append(self.path)
+                body = site.get(self.path)
+                if body is None:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                ct = "image/png" if self.path.endswith(".png") else "text/html"
+                self.send_header("Content-Type", ct)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv
+
+    cdn = serve({
+        "/robots.txt": b"User-agent: *\nDisallow: /blocked/\n",
+        "/blocked/img.png": b"\x89PNG-blocked",
+        "/open/img.png": b"\x89PNG-open",
+    })
+    cdn_base = f"http://127.0.0.1:{cdn.server_port}"
+    seed = serve({
+        "/robots.txt": b"User-agent: *\nAllow: /\n",
+        "/": (f'<html><img src="{cdn_base}/blocked/img.png">'
+              f'<img src="{cdn_base}/open/img.png">'
+              f'<a href="/p2.html">p2</a></html>').encode(),
+        "/p2.html": f'<html><img src="{cdn_base}/open/img.png">'
+                    .encode(),
+    })
+    try:
+        cfg = CrawlConfig(url=f"http://127.0.0.1:{seed.server_port}/",
+                          fetch_robots=True)
+        res = crawl(spark, cfg, pages=None, live=True)
+        cdn_log = logs[cdn.server_port]
+        # robots fetched exactly once despite the host reappearing in
+        # epoch 2's candidates
+        assert cdn_log.count("/robots.txt") == 1
+        assert "/blocked/img.png" not in cdn_log
+        assert cdn_log.count("/open/img.png") == 1  # first-wins dedup
+        outs = {r.file_path for r in res.output.collect()}
+        assert any(p.endswith("open/img.png") for p in outs)
+        assert not any("blocked" in p for p in outs)
+    finally:
+        seed.shutdown()
+        cdn.shutdown()
