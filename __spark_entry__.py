@@ -219,8 +219,11 @@ def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir).select(
         "event_id", F.col("event_type").alias("host"))
+    # parts=8 forces the skew-proof grouped two-pass (range shuffle +
+    # boundary carry) so the oracle compare exercises the SAME code path
+    # production epochs use — not the small-input per-host window fallback
     out = schedule_politeness(ev, delay_ms=1500, host_col="host",
-                              order_cols=["event_id"])
+                              order_cols=["event_id"], parts=8)
     return out.select("event_id", "host", "not_before_ms")
 
 

@@ -21,7 +21,7 @@ support.  Design constraints:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,19 +29,27 @@ def schedule_politeness(df: DataFrame, delay_ms: int,
                         host_col: str = "host",
                         order_cols: list[str] | None = None,
                         out_col: str = "not_before_ms",
-                        host_delays_ms: dict[str, int] | None = None) -> DataFrame:
+                        host_delays_ms: dict[str, int] | None = None,
+                        parts: int | None = None) -> DataFrame:
     """Assign per-host fetch offsets: 0, delay, 2*delay, ... in consideration
-    order.  Shuffles once on host — the same partitioning the fetch stage
-    needs anyway, so the exchange is reused.
+    order.
 
     ``host_delays_ms`` (robots.txt ``Crawl-delay`` per host) overrides the
     global delay where LARGER: the effective per-row delay is
     ``greatest(delay_ms, host_delays_ms[host])``.  The map is a literal
     column expression (bounded: one entry per robots-bearing host), so the
-    whole schedule stays inside whole-stage codegen — no extra join."""
+    multiply stays inside whole-stage codegen — no extra join.
+
+    ``parts`` engages the skew-proof rank path (ranking.grouped_sequence):
+    a plain per-host window puts each host's whole row set into ONE task,
+    and a goscrape-style crawl is overwhelmingly single-host — i.e. the
+    entire epoch in one task.  The grouped two-pass keeps a hot host
+    spanning many range partitions with only O(partitions) driver data."""
     order_cols = order_cols or ["parent_seq", "stage_rank", "sub_rank",
                                 "intra1", "intra2"]
-    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    from .ranking import grouped_sequence
+    ranked = grouped_sequence(df, host_col, order_cols,
+                              out_col="_host_rank", parts=parts)
     delay = F.lit(delay_ms).cast("long")
     if host_delays_ms:
         mapping = F.create_map(*[F.lit(x) for kv in host_delays_ms.items()
@@ -49,8 +57,8 @@ def schedule_politeness(df: DataFrame, delay_ms: int,
         delay = F.greatest(
             delay, F.coalesce(mapping[F.col(host_col)].cast("long"),
                               F.lit(0).cast("long")))
-    return df.withColumn(
-        out_col, (F.row_number().over(w) - F.lit(1)).cast("long") * delay)
+    return ranked.withColumn(out_col, F.col("_host_rank") * delay) \
+                 .drop("_host_rank")
 
 
 def retry_backoff_ms(attempts: Column, retry_delay_ms: int = 1500) -> Column:

@@ -1094,14 +1094,22 @@ class Crawler:
     # ------------------------------------------------------------------
     def _schedule(self, assets: DataFrame) -> DataFrame:
         if self.config.politeness_delay_ms > 0 or self._host_delay_ms:
-            # J5: per-host politeness window; a real fetcher executes each
+            # J5: per-host politeness schedule; a real fetcher executes each
             # host group in one applyInPandas batch honoring not_before_ms.
             # Robots Crawl-delay hosts override the global delay where
             # larger (literal-map column expr inside schedule_politeness).
+            # parts engages the skew-proof grouped two-pass once the epoch's
+            # asset set is wide — a same-host crawl would otherwise put the
+            # WHOLE epoch into one per-host window task (the last W2-shape
+            # hazard on the hot path); sized like the epoch shuffle parts.
             from ..operators.politeness import schedule_politeness
+            n = self._fs_obs.get["n_allowed"] if self._fs_obs is not None \
+                else 0
+            parts = n // 2000 + 1 if n else 0
             return schedule_politeness(assets,
                                        self.config.politeness_delay_ms,
-                                       host_delays_ms=self._host_delay_ms)
+                                       host_delays_ms=self._host_delay_ms,
+                                       parts=parts if parts >= 4 else None)
         return assets.withColumn("not_before_ms", F.lit(0).cast("long"))
 
     def _asset_log_select(self, joined: DataFrame, epoch: int) -> DataFrame:

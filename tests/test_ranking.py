@@ -44,3 +44,82 @@ def test_no_single_partition_exchange_in_scalable_plan(spark):
     plan = global_sequence(df, ["k1"], parts=8)._jdf \
         .queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+# --- grouped_sequence (per-group rank without a per-group window task) ------
+
+
+def _gdf(spark, n=6000, hosts=5):
+    """hosts distinct groups; one (host 0) owns ~60% of rows — a hot group
+    that must span several range partitions."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 6, F.lit("hot.example"))
+         .otherwise(F.concat(F.lit("h"), (F.col("id") % hosts)
+                             .cast("string"))).alias("host"),
+        ((F.col("id") * 6007) % n).alias("ord"))
+
+
+def _window_ranks(spark, df):
+    from pyspark.sql import Window
+    w = Window.partitionBy("host").orderBy("ord")
+    return {r.id: r.g for r in
+            df.withColumn("g", F.row_number().over(w) - 1).collect()}
+
+
+def test_grouped_sequence_matches_window(spark):
+    from goscrape_spark.operators.ranking import grouped_sequence
+
+    df = _gdf(spark)
+    want = _window_ranks(spark, df)
+    got = {r.id: r.grank for r in
+           grouped_sequence(df, "host", ["ord"], parts=8).collect()}
+    assert got == want
+
+
+def test_grouped_sequence_single_hot_group(spark):
+    """The motivating case: ONE group owning every row (a same-host crawl
+    epoch) — ranks must still be 0..n-1 and the plan must have no Window
+    and no SinglePartition exchange."""
+    from goscrape_spark.operators.ranking import grouped_sequence
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id"), F.lit("only.example").alias("host"),
+        ((F.col("id") * 7919) % n).alias("ord"))
+    out = grouped_sequence(df, "host", ["ord"], parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "SinglePartition" not in plan
+    got = {r.ord: r.grank for r in out.collect()}
+    assert got == {i: i for i in range(n)}
+
+
+def test_grouped_sequence_small_and_empty(spark):
+    from goscrape_spark.operators.ranking import grouped_sequence
+
+    df = _gdf(spark, 200)
+    want = _window_ranks(spark, df)
+    got = {r.id: r.grank for r in
+           grouped_sequence(df, "host", ["ord"], parts=None).collect()}
+    assert got == want
+    empty = spark.createDataFrame([], "id long, host string, ord long")
+    assert grouped_sequence(empty, "host", ["ord"], parts=8).count() == 0
+
+
+def test_schedule_politeness_scalable_matches_window(spark):
+    """J5 hot-path shape: schedule_politeness(parts=...) must emit the
+    same offsets as the window path, including Crawl-delay overrides."""
+    from goscrape_spark.operators.politeness import schedule_politeness
+
+    df = _gdf(spark, 3000).select(
+        "id", "host", F.col("ord").alias("parent_seq"),
+        F.lit(0).alias("stage_rank"), F.lit(0).alias("sub_rank"),
+        F.lit(0).alias("intra1"), F.lit(0).alias("intra2"))
+    delays = {"hot.example": 900}
+    win = {r.id: r.not_before_ms for r in
+           schedule_politeness(df, 250, host_delays_ms=delays,
+                               parts=None).collect()}
+    par = {r.id: r.not_before_ms for r in
+           schedule_politeness(df, 250, host_delays_ms=delays,
+                               parts=8).collect()}
+    assert par == win
