@@ -623,6 +623,52 @@ _CSS_EXTRACT_EXPECT = [
 ]
 
 
+# Sitemap <loc> extraction golden (functions/sitemap.py, the sitemap-seeded
+# frontier's parse stage): entity unescape (&amp; last), CDATA strip,
+# multi-line locs, <sitemapindex> detection.  Expected rows are HAND-WRITTEN
+# (not replayed through parse_sitemap), so the oracle independently checks
+# the regex + unescape translation.
+_SITEMAP_CASES = [
+    (0, "<urlset><url><loc>http://a.org/p?x=1&amp;y=2</loc></url>"
+        "<url><loc>\n  http://a.org/spread \n</loc></url>"
+        "<url><loc><![CDATA[http://a.org/cd?a=1&b=2]]></loc></url>"
+        "</urlset>"),
+    (1, "<sitemapindex><sitemap><loc>http://a.org/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>http://a.org/sm&lt;2&gt;.xml</loc></sitemap>"
+        "</sitemapindex>"),
+    (2, "<urlset></urlset>"),          # no locs: contributes zero rows
+    (3, "plain text, not xml"),        # ditto
+    (4, "<urlset><url><loc>http://a.org/&amp;lt;</loc></url></urlset>"),
+]
+
+_SITEMAP_EXPECT = [
+    (0, 0, "http://a.org/p?x=1&y=2", False),
+    (0, 1, "http://a.org/spread", False),
+    (0, 2, "http://a.org/cd?a=1&b=2", False),
+    (1, 0, "http://a.org/sm1.xml", True),
+    (1, 1, "http://a.org/sm<2>.xml", True),
+    # standard decode order: '&amp;lt;' -> literal '&lt;' (NOT '<')
+    (4, 0, "http://a.org/&lt;", False),
+]
+
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parse stage against the golden table (column-expression
+    path used by the crawl's sitemap-seeded frontier bootstrap)."""
+    from goscrape_spark.functions.sitemap import (
+        col_is_sitemap_index,
+        col_sitemap_locs,
+    )
+
+    src = spark.createDataFrame(_SITEMAP_CASES, "case_id int, xml string")
+    return (src.select(
+                "case_id",
+                col_is_sitemap_index(F.col("xml")).alias("is_index"),
+                F.posexplode(col_sitemap_locs(F.col("xml")))
+                 .alias("ord", "loc"))
+            .select("case_id", "ord", "loc", "is_index"))
+
+
 def q_srcset_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10/C11: srcset split + rewrite against the golden table."""
     from goscrape_spark.functions.urlmath import (
@@ -857,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_real": q_audio_features_real,
         "video_frames_real": q_video_frames_real,
         "srcset_math": q_srcset_math,
+        "sitemap_extract": q_sitemap_extract,
         "css_extract": q_css_extract,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
@@ -1475,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
         "srcset_math": _golden_values_sql(
             [(c, cand, rw) for c, _, cand, rw in _SRCSET_CASES],
             "case_id, candidates, rewritten"),
+
+        "sitemap_extract": _golden_values_sql(
+            _SITEMAP_EXPECT, "case_id, ord, loc, is_index"),
 
         "css_extract": _golden_values_sql(
             _CSS_EXTRACT_EXPECT, "case_id, ord, resolved"),

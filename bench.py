@@ -437,7 +437,7 @@ def _sf_queries(spark) -> dict[str, float]:
              "quality_score", "fingerprint", "minhash_lsh", "simhash",
              "cosine_topk", "embedding_near_dup", "politeness_schedule",
              "retry_backoff", "media_features", "dedup_clusters",
-             "robots_rfc_match",
+             "robots_rfc_match", "sitemap_extract",
              "stratified_sample", "corpus_pipeline",
              "image_features_real", "audio_features_real",
              "video_frames_real"]

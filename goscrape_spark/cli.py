@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--robots", action="store_true",
                    help="fetch and honor the seed host's robots.txt "
                         "(RFC 9309; rebuild extension)")
+    p.add_argument("--sitemaps", action="store_true",
+                   help="seed the frontier from the site's sitemaps "
+                        "(robots.txt Sitemap: lines, else /sitemap.xml; "
+                        "rebuild extension)")
     p.add_argument("--pages-parquet", default="",
                    help="mock web parquet (url, body, resp_url, retry_after)")
     p.add_argument("--checkpoint", default="", help="epoch checkpoint dir")
@@ -113,7 +117,7 @@ def run(argv: list[str], spark=None) -> int:
                 user_agent=args.useragent, timeout=args.timeout,
                 proxy=args.proxy, image_quality=quality,
                 politeness_delay_ms=args.politeness_ms,
-                fetch_robots=args.robots,
+                fetch_robots=args.robots, use_sitemaps=args.sitemaps,
                 headers=parse_headers(args.header), cookies=cookies)
             pages, live = None, True
             if args.pages_parquet:

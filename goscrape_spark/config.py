@@ -43,6 +43,11 @@ class CrawlConfig:
     # fetches the seed host's /robots.txt live at crawl start.
     robots_txt: dict[str, str] = field(default_factory=dict)
     fetch_robots: bool = False
+    # sitemap-seeded frontier: at crawl start, fetch the seed host's
+    # sitemaps (robots.txt ``Sitemap:`` lines, else /sitemap.xml), follow
+    # <sitemapindex> fan-out (bounded depth), and admit same-host page
+    # <loc> entries as extra depth-1 candidates after the seed's own links
+    use_sitemaps: bool = False
 
     def compiled_includes(self) -> list[re.Pattern]:
         return [re.compile(p) for p in self.includes]

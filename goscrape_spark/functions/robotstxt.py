@@ -107,6 +107,21 @@ def parse_crawl_delay(text: str, agent: str = "*") -> float | None:
     return group["delay"] if group else None
 
 
+def parse_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` lines, in file order.  Host-wide per sitemaps.org —
+    NOT scoped to any user-agent group, so this scans every line rather
+    than going through group selection."""
+    out: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        field, value = line.split(":", 1)
+        if field.strip().lower() == "sitemap" and value.strip():
+            out.append(value.strip())
+    return out
+
+
 def rule_regex(pattern: str) -> str:
     """robots rule pattern -> an anchored regex in the Java/RE2 common
     subset (portable across Spark ``rlike`` and DuckDB ``regexp_matches``):

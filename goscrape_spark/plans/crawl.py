@@ -136,6 +136,8 @@ class Crawler:
         # hosts whose robots.txt has been fetched (or failed) this crawl —
         # each host is contacted for robots at most once
         self._robots_fetched: set[str] = set()
+        # robots.txt Sitemap: lines per host (host-wide, sitemaps.org)
+        self._sitemap_lines: dict[str, list[str]] = {}
         if config.robots_txt:
             for host, text in config.robots_txt.items():
                 self._add_robots_txt(host, text)
@@ -173,9 +175,21 @@ class Crawler:
         ua = self.config.user_agent.strip()
         return ua.split("/")[0].split(" ")[0].lower() if ua else "*"
 
-    def _add_robots_txt(self, host: str, text: str) -> None:
-        from ..functions.robotstxt import parse_crawl_delay, parse_robots
+    def _add_robots_txt(self, host: str, text: str,
+                        apply_rules: bool = True) -> None:
+        from ..functions.robotstxt import (
+            parse_crawl_delay,
+            parse_robots,
+            parse_sitemap_urls,
+        )
         from ..operators.politeness import rfc_rules_df
+        sm = parse_sitemap_urls(text)
+        if sm:
+            self._sitemap_lines.setdefault(host, []).extend(sm)
+        if not apply_rules:
+            # --sitemaps alone reads robots.txt only to DISCOVER sitemaps;
+            # exclusion rules and Crawl-delay apply only with --robots
+            return
         agent = self._robots_agent()
         delay = parse_crawl_delay(text, agent=agent)
         if delay is not None:
@@ -215,12 +229,104 @@ class Crawler:
                 text = r.read(500 * 1024).decode("utf-8", "replace")
         except (urllib.error.URLError, OSError, ValueError):
             return
-        self._add_robots_txt(host, text)
+        self._add_robots_txt(host, text,
+                             apply_rules=self.config.fetch_robots)
+
+    def _sitemap_candidates(self) -> DataFrame | None:
+        """Sitemap-seeded frontier bootstrap (sitemaps.org; no reference
+        analog).  Sitemap files are fetched DISTRIBUTED through the normal
+        fetch seam (mock join or live per-host batches — politeness and
+        cookies apply), ``<loc>`` extraction is a JVM-side column regex
+        (functions/sitemap.py), and ``<sitemapindex>`` fan-out is followed
+        for up to 3 rounds (urlset / index→urlset / index→index→urlset —
+        a 50k×50k two-level index is 2.5e9 locs, all DataFrame-side).
+
+        Page locs become candidate rows at ``stage_rank 7`` (after the seed
+        page's own 'a' refs, rank 6), ordered lexicographically via the
+        scalable global_sequence — deterministic like every other stage.
+        Cross-host / non-http locs are NOT special-cased: normal admission
+        (F1/F5, insert-before-reject) drops them exactly like link
+        candidates.  Sitemap fetches themselves are bootstrap machinery and
+        do not enter the fetch log or the seen set."""
+        spark = self.spark
+        from ..functions.sitemap import col_is_sitemap_index, col_sitemap_locs
+        from ..functions.urlnorm import (
+            col_dedup_key,
+            col_host,
+            col_path,
+            col_scheme,
+            col_scheme_ok,
+            col_strip_fragment,
+        )
+        from ..operators.ranking import global_sequence
+
+        urls = list(dict.fromkeys(
+            self._sitemap_lines.get(self.seed_host, []))) or \
+            [f"{self.seed.scheme}://{self.seed_host}/sitemap.xml"]
+        done = spark.createDataFrame([(u,) for u in sorted(set(urls))],
+                                     "url string")
+        cur, n_cur = done, len(urls)
+        loc_frames: list[DataFrame] = []
+        for _ in range(3):
+            fetched = self._do_fetch(cur, approx_rows=n_cur) \
+                          .select("url", "body", "status")
+            body = F.decode(F.col("body"), "utf-8")
+            ok = self._localckpt(
+                fetched.filter(F.col("status") == "ok").select(
+                    col_sitemap_locs(body).alias("locs"),
+                    col_is_sitemap_index(body).alias("is_idx")),
+                "sitemap_fetch")
+            loc_frames.append(ok.filter(~F.col("is_idx"))
+                              .select(F.explode("locs").alias("loc")))
+            subs = (ok.filter(F.col("is_idx"))
+                    .select(F.explode("locs").alias("url")).distinct()
+                    .join(done, "url", "left_anti"))
+            subs = self._localckpt(subs, "sitemap_index")
+            n_cur = subs.count()
+            if n_cur == 0:
+                break
+            cur = subs
+            done = done.unionByName(subs)
+        locs = loc_frames[0]
+        for f in loc_frames[1:]:
+            locs = locs.unionByName(f)
+        u = col_strip_fragment(F.col("loc"))
+        parsed = (locs.distinct()
+                  .select(u.alias("url"), col_scheme(u).alias("scheme"),
+                          col_host(u).alias("host"),
+                          col_path(u).alias("path"))
+                  # the protocol requires absolute URLs; relative locs have
+                  # no host and cannot be resolved reliably — drop them
+                  .filter(col_scheme_ok(F.col("scheme"))
+                          & (F.col("host") != "")))
+        keyed = self._localckpt(
+            parsed.withColumn(
+                "dedup_key", col_dedup_key(F.col("url"), F.col("host"),
+                                           F.col("path"),
+                                           F.lit(self.seed_host))),
+            "sitemap_locs")
+        n = keyed.count()
+        if n == 0:
+            return None
+        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        seqd = global_sequence(keyed, ["url"], out_col="_i",
+                               parts=min(default_parts, n // 2000 + 1))
+        return seqd.select(
+            F.lit(self.seed.string()).alias("page_url"),
+            F.lit(0).cast("bigint").alias("parent_seq"),
+            F.lit(7).alias("stage_rank"), F.lit(0).alias("sub_rank"),
+            F.col("_i").cast("int").alias("intra1"),
+            F.lit(0).alias("intra2"),
+            "url", "scheme", "host", "path",
+            F.lit(False).alias("is_asset"), F.lit(0).alias("depth"),
+            F.lit("sitemap").alias("stage"), "dedup_key")
 
     def run(self, resume: bool = False) -> CrawlResult:
         spark = self.spark
         cfg = self.config
-        if self.live and cfg.fetch_robots:
+        if self.live and (cfg.fetch_robots or cfg.use_sitemaps):
+            # --robots: fetch + honor; --sitemaps alone: fetch only to
+            # discover Sitemap: lines (rules are not installed)
             self._fetch_seed_robots()
 
         resumed = None
@@ -354,6 +460,10 @@ class Crawler:
                 processed.select("file_path", "seq"), "page_paths")
 
             candidates = self._base_candidates(spans, page_meta)
+            if epoch == 0 and cfg.use_sitemaps:
+                sm_cands = self._sitemap_candidates()
+                if sm_cands is not None:
+                    candidates = candidates.unionByName(sm_cands)
 
             inserts, survivors, assets_allowed, assets_deferred = \
                 self._admission_fixpoint(candidates, seen, page_paths, written)
