@@ -111,10 +111,14 @@ class SeenSet:
             self.bloom.add(k)
 
     def add_keys_df(self, df: DataFrame, key_col: str = "dedup_key") -> None:
-        """Build per-partition filters inside Arrow batches, merge by OR.
+        """Build per-partition filters inside Arrow batches, OR-merge them
+        with an executor-side ``treeAggregate`` (north_star wording).
 
-        The per-partition build is the distributed part (runs where the data
-        is); the OR-merge reduction is tiny (m/8 bytes per partition)."""
+        The per-partition build runs where the data is; the merge reduces
+        P bitmaps of m/8 bytes each in a depth-2 tree ON EXECUTORS, so the
+        driver receives O(sqrt(P)) bitmaps instead of P — at a 10^10-key
+        sharded filter (SURVEY §4.2) the collect-all-to-driver version
+        would make the driver the merge bottleneck."""
         m, k = self.bloom.m, self.bloom.k
 
         def build(batches: Iterator) -> Iterator:
@@ -131,8 +135,19 @@ class SeenSet:
                 yield pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
         parts = df.select(key_col).mapInPandas(build, schema="bits binary")
-        for row in parts.collect():
-            self.bloom.bits |= np.frombuffer(row.bits, dtype=np.uint64)
+        n_words = m // 64
+
+        def seq_op(acc: np.ndarray, row) -> np.ndarray:
+            acc |= np.frombuffer(row.bits, dtype=np.uint64)
+            return acc
+
+        def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+            a |= b
+            return a
+
+        merged = parts.rdd.treeAggregate(
+            np.zeros(n_words, dtype=np.uint64), seq_op, comb_op, depth=2)
+        self.bloom.bits |= merged
 
     def probe_df(self, df: DataFrame, key_col: str = "dedup_key",
                  out_col: str = "might_contain") -> DataFrame:
