@@ -308,7 +308,11 @@ class Crawler:
         n = keyed.count()
         if n == 0:
             return None
-        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # size from the SESSION default, not the epoch-loop's data-sized
+        # shuffle.partitions (epoch 0 is one frontier row -> ~2 parts,
+        # which would bottleneck a million-loc sitemap sequence)
+        default_parts = getattr(self, "_default_parts", None) or \
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
         seqd = global_sequence(keyed, ["url"], out_col="_i",
                                parts=min(default_parts, n // 2000 + 1))
         return seqd.select(
@@ -371,6 +375,9 @@ class Crawler:
         documents: list[DataFrame] = []
         outputs: list[DataFrame] = []
         default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # the loop re-sets shuffle.partitions per epoch; stages that size
+        # their own shuffles (sitemap bootstrap) need the session default
+        self._default_parts = default_parts
 
         # filesystem state for the fileExists asset skip
         # (scraper/download.go:76-79): one row per already-written path
@@ -1215,7 +1222,9 @@ class Crawler:
             from ..operators.politeness import schedule_politeness
             n = self._fs_obs.get["n_allowed"] if self._fs_obs is not None \
                 else 0
-            parts = n // 2000 + 1 if n else 0
+            default_parts = int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions"))
+            parts = min(default_parts, n // 2000 + 1) if n else 0
             return schedule_politeness(assets,
                                        self.config.politeness_delay_ms,
                                        host_delays_ms=self._host_delay_ms,
