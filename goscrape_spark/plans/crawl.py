@@ -203,6 +203,20 @@ class Crawler:
     def _fetch_seed_robots(self) -> None:
         self._fetch_robots_txt(self.seed_host, self.seed.scheme)
 
+    def _lookup_mock_robots(self) -> None:
+        """Mock-mode twin of _fetch_seed_robots: read the seed host's
+        /robots.txt from the pages fixture (1-row filter + collect, same
+        driver budget as the live GET).  Absent row = no restrictions."""
+        url = f"{self.seed.scheme}://{self.seed_host}/robots.txt"
+        self._robots_fetched.add(self.seed_host)
+        rows = self.pages.filter(F.col("url") == url) \
+                         .select("body").limit(1).collect()
+        if not rows or rows[0].body is None:
+            return
+        text = bytes(rows[0].body)[:500 * 1024].decode("utf-8", "replace")
+        self._add_robots_txt(self.seed_host, text,
+                             apply_rules=self.config.fetch_robots)
+
     def _fetch_robots_txt(self, host: str, scheme: str) -> None:
         """Live mode, fetch_robots=True: one driver-side GET of a host's
         /robots.txt (like the 1-row seed rebase, a single bounded driver
@@ -328,10 +342,15 @@ class Crawler:
     def run(self, resume: bool = False) -> CrawlResult:
         spark = self.spark
         cfg = self.config
-        if self.live and (cfg.fetch_robots or cfg.use_sitemaps):
+        if cfg.fetch_robots or cfg.use_sitemaps:
             # --robots: fetch + honor; --sitemaps alone: fetch only to
-            # discover Sitemap: lines (rules are not installed)
-            self._fetch_seed_robots()
+            # discover Sitemap: lines (rules are not installed).  Mock mode
+            # reads /robots.txt from the pages fixture (the reference's own
+            # test seam) so both fetch modes expose the same robots surface.
+            if self.live:
+                self._fetch_seed_robots()
+            elif self.pages is not None:
+                self._lookup_mock_robots()
 
         resumed = None
         if resume and self.checkpoint is not None:

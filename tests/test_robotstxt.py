@@ -405,3 +405,30 @@ def test_live_cross_host_assets_honor_their_hosts_robots(spark):
     finally:
         seed.shutdown()
         cdn.shutdown()
+
+
+def test_mock_crawl_fetch_robots_reads_fixture(spark):
+    """fetch_robots=True in MOCK mode reads /robots.txt from the pages
+    fixture (the reference's own test seam) — same semantics as live."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://mockbots.example"
+    pages = {
+        f"{base}/robots.txt": ("User-agent: *\nDisallow: /private/\n"
+                               "Crawl-delay: 0.2\n"),
+        f"{base}/": ('<html><a href="/private/x.html">x</a>'
+                     '<a href="/pub.html">p</a></html>'),
+        f"{base}/private/x.html": "<html>blocked</html>",
+        f"{base}/pub.html": "<html>public</html>",
+    }
+    cfg = CrawlConfig(url=f"{base}/", fetch_robots=True)
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    fetched = {r.url.split(base)[1] for r in res.ordered_fetches()}
+    assert fetched == {"/", "/pub.html"}
+    assert "/private/x.html" in res.seen_set()
+    # the fixture Crawl-delay paces the mock schedule too
+    nb = {r.url.split(base)[1]: r.not_before_ms
+          for r in res.ordered_fetches() if r.epoch == 1}
+    assert nb == {"/pub.html": 0}

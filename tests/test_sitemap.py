@@ -180,3 +180,27 @@ def test_live_sitemap_seeding_without_robots_rules(spark):
         assert log.count("/maps/sm1.xml") == 1
     finally:
         srv.shutdown()
+
+
+def test_mock_crawl_sitemap_discovered_from_fixture_robots(spark):
+    """use_sitemaps in MOCK mode discovers Sitemap: lines from the
+    fixture's /robots.txt (no robots_txt config needed) — and without
+    fetch_robots the robots RULES are not installed, same as live."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://smrob.example"
+    pages = {
+        f"{base}/robots.txt": ("User-agent: *\nDisallow: /deep/\n"
+                               f"Sitemap: {base}/sm.xml\n"),
+        f"{base}/": "<html>no links</html>",
+        f"{base}/sm.xml":
+            f"<urlset><url><loc>{base}/deep/p.html</loc></url></urlset>",
+        f"{base}/deep/p.html": "<html>sitemap-only page</html>",
+    }
+    cfg = CrawlConfig(url=f"{base}/", use_sitemaps=True)
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    order = [r.url for r in res.ordered_fetches() if r.kind == "page"]
+    # Disallow /deep/ NOT applied (no fetch_robots); sitemap page crawled
+    assert order == [f"{base}/", f"{base}/deep/p.html"]
