@@ -123,3 +123,25 @@ def test_schedule_politeness_scalable_matches_window(spark):
            schedule_politeness(df, 250, host_delays_ms=delays,
                                parts=8).collect()}
     assert par == win
+
+
+def test_grouped_sequence_randomized_parts_sweep(spark):
+    """Seeded random groups/orders, several partition counts including
+    parts > groups and parts close to n — every configuration must match
+    the window exactly (exercises empty partitions, single-row runs, and
+    multi-partition boundary carries)."""
+    from goscrape_spark.operators.ranking import grouped_sequence
+
+    n = 2003
+    # deterministic pseudo-random group sizes: group = id*2654435761 % 13,
+    # order = bijective scramble (unique)
+    df = spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("g"), ((F.col("id") * 2654435761) % 13)
+                 .cast("string")).alias("host"),
+        ((F.col("id") * 4999) % n).alias("ord"))
+    want = _window_ranks(spark, df)
+    for parts in (4, 7, 16, 64):
+        got = {r.id: r.grank for r in
+               grouped_sequence(df, "host", ["ord"], parts=parts).collect()}
+        assert got == want, f"parts={parts}"
