@@ -44,6 +44,10 @@ def _parse_groups(text: str) -> dict[str, dict]:
             if not in_ua_run:
                 cur_tokens = []
             in_ua_run = True
+            if not value:
+                # an empty token would prefix-match EVERY product token and
+                # silently shadow the '*' group — ignore the line
+                continue
             cur_tokens.append(value.lower())
             for t in cur_tokens:
                 groups.setdefault(t, {"rules": [], "delay": None})

@@ -129,9 +129,12 @@ def grouped_sequence(df: DataFrame, group_col: str, order_cols: list[str],
     def summarize(batches) -> Iterator:
         import numpy as np
         import pandas as pd
+        # the carry thread needs only the boundary groups: the partition's
+        # FIRST group (to receive a carry) and its LAST group + trailing
+        # run length (to pass one on); when first == last the partition is
+        # a single group and n_last is its full count
         pid = first = last = None
-        n_first = n_last = 0
-        only_first = True
+        n_last = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -148,18 +151,13 @@ def grouped_sequence(df: DataFrame, group_col: str, order_cols: list[str],
                     n_last += cnt
                 else:
                     last, n_last = val, cnt
-                if only_first and val == first:
-                    n_first += cnt
-                elif val != first:
-                    only_first = False
         if pid is not None:
             yield pd.DataFrame({"pid": [pid], "first": [first],
-                                "n_first": [n_first], "last": [last],
-                                "n_last": [n_last]})
+                                "last": [last], "n_last": [n_last]})
 
     gtype = ranged.schema[group_col].dataType.simpleString()
     summary = {int(r.pid): r for r in ranged.mapInPandas(
-        summarize, schema=f"pid int, first {gtype}, n_first long, "
+        summarize, schema=f"pid int, first {gtype}, "
                           f"last {gtype}, n_last long").collect()}
     carry: dict[int, int] = {}
     prev_last, prev_total = None, 0

@@ -141,6 +141,7 @@ class Crawler:
         if config.robots_txt:
             for host, text in config.robots_txt.items():
                 self._add_robots_txt(host, text)
+            self._rebuild_rfc_rules()
         self.checkpoint = checkpoint
         self.max_epochs = max_epochs
         # collapse the seen/written union chains into one checkpointed
@@ -198,36 +199,24 @@ class Crawler:
         if not rules:
             return
         self._robots_parsed[host] = rules
-        self.robots_rfc = rfc_rules_df(self.spark, self._robots_parsed)
+        # callers rebuild the broadcast rules table ONCE per batch
+        # (_rebuild_rfc_rules), not per host
+
+    def _rebuild_rfc_rules(self) -> None:
+        from ..operators.politeness import rfc_rules_df
+        if self._robots_parsed:
+            self.robots_rfc = rfc_rules_df(self.spark, self._robots_parsed)
 
     def _fetch_seed_robots(self) -> None:
-        self._fetch_robots_txt(self.seed_host, self.seed.scheme)
+        self._ingest_host_robots([(self.seed_host, self.seed.scheme)])
 
-    def _lookup_mock_robots(self) -> None:
-        """Mock-mode twin of _fetch_seed_robots: read the seed host's
-        /robots.txt from the pages fixture (1-row filter + collect, same
-        driver budget as the live GET).  Absent row = no restrictions."""
-        url = f"{self.seed.scheme}://{self.seed_host}/robots.txt"
-        self._robots_fetched.add(self.seed_host)
-        rows = self.pages.filter(F.col("url") == url) \
-                         .select("body").limit(1).collect()
-        if not rows or rows[0].body is None:
-            return
-        text = bytes(rows[0].body)[:500 * 1024].decode("utf-8", "replace")
-        self._add_robots_txt(self.seed_host, text,
-                             apply_rules=self.config.fetch_robots)
-
-    def _fetch_robots_txt(self, host: str, scheme: str) -> None:
-        """Live mode, fetch_robots=True: one driver-side GET of a host's
-        /robots.txt (like the 1-row seed rebase, a single bounded driver
-        round-trip; each host is fetched AT MOST ONCE per crawl, failures
-        included).  RFC 9309 §2.3.1: fetch errors mean no restrictions;
-        §2.5: parse at most the first 500 KiB."""
+    def _get_robots_text(self, host: str, scheme: str) -> str | None:
+        """One driver-side GET of a host's /robots.txt.  RFC 9309 §2.3.1:
+        any fetch error means "no restrictions" (None); §2.5: parse at
+        most the first 500 KiB."""
+        import http.client
         import urllib.error
         import urllib.request
-        if host in self._robots_fetched:
-            return
-        self._robots_fetched.add(host)
         url = f"{scheme or 'http'}://{host}/robots.txt"
         headers = dict(self.config.headers)
         if self.config.user_agent:
@@ -240,11 +229,45 @@ class Crawler:
         try:
             req = urllib.request.Request(url, headers=headers)
             with opener.open(req, timeout=self.config.timeout or 30) as r:
-                text = r.read(500 * 1024).decode("utf-8", "replace")
-        except (urllib.error.URLError, OSError, ValueError):
+                return r.read(500 * 1024).decode("utf-8", "replace")
+        except (urllib.error.URLError, OSError, ValueError,
+                http.client.HTTPException):
+            # BadStatusLine/IncompleteRead subclass HTTPException, NOT
+            # OSError — a malformed robots response must also mean "no
+            # restrictions", not a dead crawl
+            return None
+
+    def _ingest_host_robots(self, hosts: list[tuple[str, str]]) -> None:
+        """Fetch + install robots.txt for a batch of (host, scheme), each
+        host AT MOST ONCE per crawl (failures included).  Live hosts fetch
+        CONCURRENTLY (a page whose assets span N dead third-party hosts
+        must stall one timeout, not N); mock mode reads every wanted
+        /robots.txt row from the pages fixture in ONE filter+collect.  The
+        broadcast rules table is rebuilt once per batch, not per host."""
+        wanted = [(h, sc) for h, sc in hosts
+                  if h and h not in self._robots_fetched]
+        if not wanted:
             return
-        self._add_robots_txt(host, text,
-                             apply_rules=self.config.fetch_robots)
+        self._robots_fetched.update(h for h, _ in wanted)
+        texts: list[tuple[str, str]] = []
+        if self.live:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(wanted))) as ex:
+                fetched = ex.map(lambda p: self._get_robots_text(*p), wanted)
+                texts = [(h, t) for (h, _), t in zip(wanted, fetched)
+                         if t is not None]
+        elif self.pages is not None:
+            urls = {f"{sc or 'http'}://{h}/robots.txt": h
+                    for h, sc in wanted}
+            rows = self.pages.filter(F.col("url").isin(list(urls))) \
+                             .select("url", "body").collect()
+            texts = [(urls[r.url],
+                      bytes(r.body)[:500 * 1024].decode("utf-8", "replace"))
+                     for r in rows if r.body is not None]
+        apply_rules = self.config.fetch_robots
+        for host, text in sorted(texts):
+            self._add_robots_txt(host, text, apply_rules=apply_rules)
+        self._rebuild_rfc_rules()
 
     def _sitemap_candidates(self) -> DataFrame | None:
         """Sitemap-seeded frontier bootstrap (sitemaps.org; no reference
@@ -252,8 +275,12 @@ class Crawler:
         fetch seam (mock join or live per-host batches — politeness and
         cookies apply), ``<loc>`` extraction is a JVM-side column regex
         (functions/sitemap.py), and ``<sitemapindex>`` fan-out is followed
-        for up to 3 rounds (urlset / index→urlset / index→index→urlset —
-        a 50k×50k two-level index is 2.5e9 locs, all DataFrame-side).
+        for up to 3 rounds (urlset / index→urlset / index→index→urlset);
+        loc extraction and dedup stay DataFrame-side at any volume, with
+        one documented cap: the final deterministic ordering uses
+        CAND_SCHEMA's 32-bit intra1, so >2^31-1 distinct locs raise
+        loudly instead of overflowing (no real site approaches this; the
+        protocol caps one index level at 50k×50k = 2.5e9 only in theory).
 
         Page locs become candidate rows at ``stage_rank 7`` (after the seed
         page's own 'a' refs, rank 6), ordered lexicographically via the
@@ -284,7 +311,11 @@ class Crawler:
         for _ in range(3):
             fetched = self._do_fetch(cur, approx_rows=n_cur) \
                           .select("url", "body", "status")
-            body = F.decode(F.col("body"), "utf-8")
+            # cast, not decode: Spark 4's decode() THROWS on any invalid
+            # UTF-8 byte (a .xml.gz sitemap or latin-1 bytes would abort
+            # the crawl); binary->string cast substitutes U+FFFD like the
+            # robots paths' Python decode(..., 'replace')
+            body = F.col("body").cast("string")
             ok = self._localckpt(
                 fetched.filter(F.col("status") == "ok").select(
                     col_sitemap_locs(body).alias("locs"),
@@ -322,6 +353,14 @@ class Crawler:
         n = keyed.count()
         if n == 0:
             return None
+        if n > 2**31 - 1:
+            # CAND_SCHEMA's intra1 is 32-bit (every other stage's intra
+            # counters are per-page positions); a >2^31-loc sitemap set
+            # would overflow the cast below — refuse loudly rather than
+            # corrupt the deterministic candidate order
+            raise ValueError(
+                f"sitemap loc set ({n} rows) exceeds the 2^31-1 intra1 "
+                "ordering capacity; widen CAND_SCHEMA intra1 to bigint")
         # size from the SESSION default, not the epoch-loop's data-sized
         # shuffle.partitions (epoch 0 is one frontier row -> ~2 parts,
         # which would bottleneck a million-loc sitemap sequence)
@@ -347,10 +386,7 @@ class Crawler:
             # discover Sitemap: lines (rules are not installed).  Mock mode
             # reads /robots.txt from the pages fixture (the reference's own
             # test seam) so both fetch modes expose the same robots surface.
-            if self.live:
-                self._fetch_seed_robots()
-            elif self.pages is not None:
-                self._lookup_mock_robots()
+            self._fetch_seed_robots()
 
         resumed = None
         if resume and self.checkpoint is not None:
@@ -976,19 +1012,18 @@ class Crawler:
                                        cfg.excludes, bloom=self.bloom)
             inserts = self._localckpt(inserts, "inserts")
             survivors = inserts.filter(F.col("survived"))
-            if self.live and cfg.fetch_robots:
+            if cfg.fetch_robots:
                 # cross-host assets (and CSS-discovered refs) are gated by
-                # THEIR host's robots.txt: fetch each newly-seen host's
-                # file once, driver-side.  The distinct scan reads the
-                # just-checkpointed inserts (cheap) and the collect is
-                # bounded by the crawl's distinct host count — the same
-                # budget class as the per-epoch cookie harvest.
-                new_hosts = sorted(
+                # THEIR host's robots.txt in BOTH fetch modes: each
+                # newly-seen host's file is ingested once (live: concurrent
+                # driver GETs; mock: one fixture filter).  The distinct
+                # scan reads the just-checkpointed inserts (cheap) and the
+                # collect is bounded by the crawl's distinct host count —
+                # the same budget class as the per-epoch cookie harvest.
+                self._ingest_host_robots(sorted(
                     (r.host, r.scheme) for r in survivors
                     .select("host", "scheme").distinct().collect()
-                    if r.host and r.host not in self._robots_fetched)
-                for h, sc in new_hosts:
-                    self._fetch_robots_txt(h, sc)
+                    if r.host and r.host not in self._robots_fetched))
             if self.robots is not None:
                 from ..operators.politeness import apply_robots
                 survivors = apply_robots(survivors, self.robots)

@@ -432,3 +432,81 @@ def test_mock_crawl_fetch_robots_reads_fixture(spark):
     nb = {r.url.split(base)[1]: r.not_before_ms
           for r in res.ordered_fetches() if r.epoch == 1}
     assert nb == {"/pub.html": 0}
+
+
+def test_empty_user_agent_line_is_ignored():
+    """'User-agent:' with no value must not create a zero-length token
+    that prefix-matches EVERY product and shadows the '*' group."""
+    text = ("User-agent:\nDisallow: /tmp\n\n"
+            "User-agent: *\nDisallow: /private\n")
+    rules = parse_robots(text, agent="goscrape")
+    assert ("/private", False) in rules
+    assert not match_allowed("/private/x", rules)
+
+
+def test_malformed_robots_response_means_no_restrictions(spark):
+    """A server answering /robots.txt with a garbage status line
+    (http.client.BadStatusLine, an HTTPException NOT an OSError) must mean
+    'no restrictions' per RFC 9309 §2.3.1, not a dead crawl."""
+    import socket
+    import threading
+
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    port = srv.getsockname()[1]
+    hits: list[bytes] = []
+
+    def junk_server():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            with conn:
+                req = conn.recv(4096)
+                hits.append(req)
+                if b"/robots.txt" in req:
+                    conn.sendall(b"TOTAL GARBAGE\r\n\r\n")
+                else:
+                    conn.sendall(b"HTTP/1.0 200 OK\r\n"
+                                 b"Content-Type: text/html\r\n\r\n"
+                                 b"<html>seed</html>")
+
+    threading.Thread(target=junk_server, daemon=True).start()
+    try:
+        cfg = CrawlConfig(url=f"http://127.0.0.1:{port}/",
+                          fetch_robots=True, timeout=10)
+        res = crawl(spark, cfg, pages=None, live=True)
+        assert len(res.ordered_fetches()) == 1  # the seed crawled fine
+    finally:
+        srv.close()
+
+
+def test_mock_cross_host_assets_honor_fixture_robots(spark):
+    """Mock-mode twin of the live cross-host gate: a CDN host's
+    /robots.txt row in the pages fixture blocks that host's assets."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base, cdn = "http://seedx.example", "http://cdnx.example"
+    pages = {
+        f"{base}/robots.txt": "User-agent: *\nAllow: /\n",
+        f"{base}/": (f'<html><img src="{cdn}/blocked/a.png">'
+                     f'<img src="{cdn}/open/b.png"></html>'),
+        f"{cdn}/robots.txt": "User-agent: *\nDisallow: /blocked/\n",
+        f"{cdn}/blocked/a.png": b"\x89PNG-blocked",
+        f"{cdn}/open/b.png": b"\x89PNG-open",
+    }
+    cfg = CrawlConfig(url=f"{base}/", fetch_robots=True)
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    fetched = {r.url for r in res.ordered_fetches()}
+    assert f"{cdn}/open/b.png" in fetched
+    assert f"{cdn}/blocked/a.png" not in fetched
+    assert any(r.endswith("open/b.png")
+               for r in {x.file_path for x in res.output.collect()})

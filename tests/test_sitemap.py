@@ -204,3 +204,28 @@ def test_mock_crawl_sitemap_discovered_from_fixture_robots(spark):
     order = [r.url for r in res.ordered_fetches() if r.kind == "page"]
     # Disallow /deep/ NOT applied (no fetch_robots); sitemap page crawled
     assert order == [f"{base}/", f"{base}/deep/p.html"]
+
+
+def test_mock_crawl_sitemap_invalid_utf8_body_is_tolerated(spark):
+    """A sitemap body with invalid UTF-8 (e.g. a gzipped .xml.gz) must not
+    abort the crawl: the binary->string cast substitutes U+FFFD and the
+    file simply yields no locs (Spark 4's decode() would THROW)."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://badsm.example"
+    pages = {
+        f"{base}/robots.txt": (f"User-agent: *\nSitemap: {base}/sm.xml.gz\n"
+                               f"Sitemap: {base}/sm.xml\n"),
+        f"{base}/": "<html>no links</html>",
+        # gzip magic + invalid continuation bytes
+        f"{base}/sm.xml.gz": bytes([0x1F, 0x8B, 0x08, 0xFF, 0xFE, 0x80]),
+        f"{base}/sm.xml":
+            f"<urlset><url><loc>{base}/ok.html</loc></url></urlset>",
+        f"{base}/ok.html": "<html>ok</html>",
+    }
+    cfg = CrawlConfig(url=f"{base}/", use_sitemaps=True)
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    order = [r.url for r in res.ordered_fetches() if r.kind == "page"]
+    assert order == [f"{base}/", f"{base}/ok.html"]
