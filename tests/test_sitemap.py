@@ -229,3 +229,37 @@ def test_mock_crawl_sitemap_invalid_utf8_body_is_tolerated(spark):
     res = crawl(spark, cfg, pages_df(spark, pages))
     order = [r.url for r in res.ordered_fetches() if r.kind == "page"]
     assert order == [f"{base}/", f"{base}/ok.html"]
+
+
+def test_mock_crawl_sitemap_index_cycle_terminates(spark):
+    """Sitemap indexes referencing each other (A -> B -> A) must not loop:
+    every fetched sitemap URL enters the done-set and is anti-joined away;
+    locs with fragments are stripped like any candidate URL."""
+    from goscrape_spark.config import CrawlConfig
+    from goscrape_spark.plans.crawl import crawl
+    from goscrape_spark.sources.fixtures import pages_df
+
+    base = "http://smcycle.example"
+    pages = {
+        f"{base}/": "<html>no links</html>",
+        f"{base}/a.xml":
+            "<sitemapindex>"
+            f"<sitemap><loc>{base}/b.xml</loc></sitemap>"
+            f"<sitemap><loc>{base}/a.xml</loc></sitemap>"  # self-ref
+            "</sitemapindex>",
+        f"{base}/b.xml":
+            "<sitemapindex>"
+            f"<sitemap><loc>{base}/a.xml</loc></sitemap>"  # back-ref
+            f"<sitemap><loc>{base}/leaf.xml</loc></sitemap>"
+            "</sitemapindex>",
+        f"{base}/leaf.xml":
+            f"<urlset><url><loc>{base}/p.html#frag</loc></url></urlset>",
+        f"{base}/p.html": "<html>leaf page</html>",
+    }
+    cfg = CrawlConfig(
+        url=f"{base}/", use_sitemaps=True,
+        robots_txt={"smcycle.example":
+                    f"User-agent: *\nSitemap: {base}/a.xml\n"})
+    res = crawl(spark, cfg, pages_df(spark, pages))
+    order = [r.url for r in res.ordered_fetches() if r.kind == "page"]
+    assert order == [f"{base}/", f"{base}/p.html"]  # fragment stripped
