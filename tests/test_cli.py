@@ -28,3 +28,31 @@ def test_cli_crawl_mock_web(spark, tmp_path):
     idx = os.path.join(out, "example.org", "index.html")
     assert os.path.exists(idx)
     assert "url('background.jpg')" in open(idx).read()
+
+
+def test_cli_robots_sitemaps_bloom_flags(spark, tmp_path):
+    """The round-5 extension flags end-to-end through the argv path:
+    --robots installs fixture rules, --sitemaps seeds from the fixture's
+    robots Sitemap line, --bloom enables the pre-filter (same output)."""
+    base = "http://flags.example"
+    pages = {
+        f"{base}/robots.txt": (f"User-agent: *\nDisallow: /private/\n"
+                               f"Sitemap: {base}/sm.xml\n"),
+        f"{base}/": ('<html><a href="/private/x.html">x</a>'
+                     '<a href="/pub.html">p</a></html>'),
+        f"{base}/private/x.html": "<html>blocked</html>",
+        f"{base}/pub.html": "<html>public</html>",
+        f"{base}/sm.xml":
+            f"<urlset><url><loc>{base}/extra.html</loc></url></urlset>",
+        f"{base}/extra.html": "<html>sitemap-only</html>",
+    }
+    pages_path = str(tmp_path / "pages.parquet")
+    pages_df(spark, pages).write.parquet(pages_path)
+    out = str(tmp_path / "out")
+    rc = run([f"{base}/", "--pages-parquet", pages_path, "--output", out,
+              "--robots", "--sitemaps", "--bloom"], spark=spark)
+    assert rc == 0
+    root = os.path.join(out, "flags.example")
+    assert os.path.exists(os.path.join(root, "pub.html"))
+    assert os.path.exists(os.path.join(root, "extra.html"))   # via sitemap
+    assert not os.path.exists(os.path.join(root, "private"))  # via robots
