@@ -68,7 +68,8 @@ def _regex_filter(path: Column, includes: list[str], excludes: list[str]) -> Col
 
 def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
           max_depth: int, includes: list[str],
-          excludes: list[str], bloom=None) -> tuple[DataFrame, DataFrame]:
+          excludes: list[str], bloom=None,
+          materialize=None) -> tuple[DataFrame, DataFrame]:
     """Run epoch admission.
 
     ``candidates`` needs columns: url (fragment-free), is_asset boolean,
@@ -85,6 +86,13 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
     definitely-new keys never shuffle against the big seen table; only
     maybe-seen rows pay the anti-join.  Exactness is unaffected (no false
     negatives; false positives just probe the join).
+
+    ``materialize`` (optional ``df -> df``, e.g. the crawler's labelled
+    localCheckpoint): materializes the probed frame ONCE before the
+    surely-new/maybe-seen split.  Without it the two union branches each
+    re-evaluate the aggregate-final + Arrow probe above the reused
+    exchange (plan-verified: the probe accumulators counted every row
+    twice), doubling the Python-boundary work per epoch (guide §4.1).
 
     The two returned frames share one physical plan (survivors = filter of
     inserts on the ``survived`` flag) so callers can checkpoint ``inserts``
@@ -125,6 +133,8 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
         inserts = first.join(seen_keys, on="dedup_key", how="left_anti")
     else:
         probed = bloom.probe_df(first)
+        if materialize is not None:
+            probed = materialize(probed)
         surely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
         maybe_seen = probed.filter(F.col("might_contain")).drop("might_contain")
         inserts = surely_new.unionByName(

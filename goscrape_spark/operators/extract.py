@@ -329,6 +329,129 @@ def extract_media_refs(text: str, base_url: str) -> list[tuple]:
     return out
 
 
+def process_page(text: str, page_url: str, seed_host: str,
+                 do_rewrite: bool = True) -> tuple[list[tuple], str, bool]:
+    """Fused extract_media_refs + rewrite_document over ONE scan_tags pass.
+
+    Byte-for-byte equivalent to running :func:`extract_media_refs` and
+    :func:`rewrite.rewrite_document` separately (pinned by
+    tests/test_fused_process.py + test_round6_fused_scan.py) but the
+    document is scanned once and each <style> block's css_extract runs
+    once — the two scans were ~45% of the per-page Python cost in the
+    crawl's hot Arrow stage (guide §4.2: make the per-batch native work
+    lean; OPTIMIZATION_r06.md has the profile).
+
+    Returns ``(refs, new_text, changed)``; with ``do_rewrite=False`` the
+    rewrite side is skipped entirely (binary bodies) and ``(refs, text,
+    False)`` comes back.
+    """
+    from ..functions.urlmath import (
+        resolve_srcset_urls,
+        resolve_url,
+        url_relative_to_root,
+    )
+    from .cssx import rewrite_style_content
+    from .rewrite import IGNORED_URL_PREFIXES, _escape_attr
+
+    base = parse_url(page_url)
+    tags, _ = scan_tags(text)
+    refs: list[tuple] = []
+    edits: list[tuple[int, int, str]] = []
+    changed = False
+    relative_to_root = url_relative_to_root(base) if do_rewrite else ""
+
+    def emit(kind: str, u) -> None:
+        full = u.string()
+        no_frag = full.split("#", 1)[0]
+        refs.append((kind, full, no_frag, u.scheme, u.host, u.path))
+
+    for tag in tags:
+        if tag.name == "style":
+            # styleParser: extraction emits every resolvable url() ref;
+            # rewrite replaces adjusted tokens (both over ONE css_extract)
+            if tag.content_start < 0 or tag.content_end <= tag.content_start:
+                continue
+            css_text = text[tag.content_start:tag.content_end]
+            css_refs = css_extract(css_text, base)
+            for ref in css_refs:
+                try:
+                    emit("style-url", parse_url(ref.resolved))
+                except ValueError:
+                    continue
+            if do_rewrite:
+                rewrites: dict[str, str] = {}
+                for ref in css_refs:
+                    adjusted = resolve_url(base, ref.src, seed_host, False,
+                                           relative_to_root)
+                    if adjusted != ref.src:
+                        rewrites[ref.src] = adjusted
+                if rewrites:
+                    edits.append((tag.content_start, tag.content_end,
+                                  rewrite_style_content(css_text, rewrites)))
+                    changed = True
+            continue
+        attrlist = NODES.get(tag.name)
+        if attrlist is None:
+            continue
+        is_hyperlink = tag.name == "a"
+        node_changed = False
+        # rewrite's ignored-prefix quirk aborts the NODE's rewrite loop
+        # (scraper/html.go:87-91) but never the extraction side
+        rw_aborted = not do_rewrite
+        for attr in tag.attrs:
+            if attr.name not in attrlist:
+                continue
+            value = attr.value.strip()
+            is_srcset = attr.name in SRCSET_ATTRIBUTES
+            if is_srcset:
+                for cand in split_srcset(value):
+                    try:
+                        emit("img-srcset",
+                             resolve_reference(base, parse_url(cand)))
+                    except ValueError:
+                        continue
+            else:
+                try:
+                    emit(_KIND_BY_TAG[tag.name],
+                         resolve_reference(base, parse_url(value)))
+                except ValueError:
+                    pass
+            if rw_aborted:
+                continue
+            if value == "":
+                continue
+            if value.startswith(IGNORED_URL_PREFIXES):
+                node_changed = False
+                rw_aborted = True
+                continue
+            if is_srcset:
+                adjusted = resolve_srcset_urls(base, value, seed_host,
+                                               is_hyperlink, relative_to_root)
+            else:
+                adjusted = resolve_url(base, value, seed_host, is_hyperlink,
+                                       relative_to_root)
+            if adjusted == value:
+                continue
+            edits.append((attr.vstart, attr.vend,
+                          _escape_attr(adjusted, attr.quote)))
+            node_changed = True
+        changed = changed or node_changed
+
+    if not edits or not changed:
+        return refs, text, False
+    edits.sort(key=lambda e: e[0])
+    out: list[str] = []
+    pos = 0
+    for start, end, repl in edits:
+        if start < pos:
+            continue  # overlapping edit (duplicate attr) — first wins
+        out.append(text[pos:start])
+        out.append(repl)
+        pos = end
+    out.append(text[pos:])
+    return refs, "".join(out), True
+
+
 def tag_urls(spans: list[Span], tag: str) -> list[str]:
     """A1/A2: distinct, lexicographically sorted reference URLs for a tag
     (htmlindex/htmlindex.go:67-89)."""
@@ -406,7 +529,6 @@ def process_pages_df(pages: "DataFrame", seed_host: str,
     (scraper/scraper.go:240-273 storeDownload semantics)."""
     from ..functions.filetype import sniff_extension
     from ..functions.urlmath import get_file_path
-    from .rewrite import rewrite_document
 
     def run(batches) -> Iterator:
         import pandas as pd
@@ -417,17 +539,15 @@ def process_pages_df(pages: "DataFrame", seed_host: str,
                 raw = bytes(body) if body is not None else b""
                 is_page = sniff_extension(raw) == ""
                 text = _decode(raw)
+                raw_refs, new_text, changed = process_page(
+                    text, url, seed_host, do_rewrite=is_page)
                 refs = [
                     {"kind": k, "media_ref": m, "ref_no_frag": nf,
                      "scheme": s, "host": h, "path": p,
                      "dedup_key": ref_dedup_key(nf, h, p, seed_host)}
-                    for k, m, nf, s, h, p in extract_media_refs(text, url)
+                    for k, m, nf, s, h, p in raw_refs
                     if s in ("http", "https")]
-                if is_page:
-                    new_text, changed = rewrite_document(text, url, seed_host)
-                    out = new_text.encode("utf-8") if changed else raw
-                else:
-                    out = raw
+                out = new_text.encode("utf-8") if changed else raw
                 urls.append(url)
                 seqs.append(seq)
                 fps.append(get_file_path(parse_url(url), seed_host, outdir,

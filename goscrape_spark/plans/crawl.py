@@ -463,6 +463,7 @@ class Crawler:
             frontier = frontier.repartition(parts, "url")
 
             fetched = self._fetch(frontier, epoch)
+            meta_lazy = None
             if self.live or epoch == 0:
                 # live: the checkpoint pins real network side effects (one
                 # GET per URL).  epoch 0: one row; the depth-0 redirect
@@ -473,14 +474,14 @@ class Crawler:
                 fetched_meta = fetched
             else:
                 # mock: fetch outcomes are a pure fixture join — checkpoint
-                # only the body-FREE metadata (log/meta consumers) and let
-                # bodies flow lazily so each body is materialized once per
-                # epoch (inside the processed checkpoint below), not twice
-                fetched_meta = self._localckpt(fetched.drop("body"),
-                                               "fetched_meta")
+                # only body-FREE metadata (log/meta consumers) derived from
+                # the slim fixture table (_fetch_meta) so the epoch never
+                # re-reads body-bearing fixture blocks just to drop the
+                # column; bodies flow lazily and are materialized once per
+                # epoch (inside the processed checkpoint below)
+                meta_lazy = self._fetch_meta(frontier)
 
             pages_ok = fetched.filter(F.col("status") == "ok")
-            pages_ok_meta = fetched_meta.filter(F.col("status") == "ok")
             # FUSED per-page Arrow pass (operators/extract.process_pages_df):
             # media-ref extraction + binary sniff + offline rewrite + output
             # path in ONE stage, so each body crosses the JVM->Python
@@ -495,9 +496,18 @@ class Crawler:
                 # (small epochs); at big epochs the fetch join already ran at
                 # the same width
                 page_bodies = page_bodies.repartition(cpu_parts, "url")
-            processed = self._localckpt(
-                process_pages_df(page_bodies, self.seed_host,
-                                 self.config.output_directory), "processed")
+            processed_lazy = process_pages_df(page_bodies, self.seed_host,
+                                              self.config.output_directory)
+            if meta_lazy is not None:
+                # the body-free meta checkpoint and the Arrow-heavy fused
+                # pass share no lineage: overlap them (§2.6) so the tiny
+                # meta job back-fills cores idled by the Arrow stage's tail
+                processed, fetched_meta = self._parallel(
+                    lambda: self._localckpt(processed_lazy, "processed"),
+                    lambda: self._localckpt(meta_lazy, "fetched_meta"))
+            else:
+                processed = self._localckpt(processed_lazy, "processed")
+            pages_ok_meta = fetched_meta.filter(F.col("status") == "ok")
             # candidate spans: JVM-side explode of the per-page ref array
             spans = (processed.select("url", F.explode("refs").alias("r"))
                      .select("url", "r.*"))
@@ -558,9 +568,44 @@ class Crawler:
                 F.col("depth"), F.lit(epoch).alias("epoch"),
                 F.lit("").alias("stage"))
 
-            asset_fetch = self._fetch_assets(assets_allowed, epoch,
-                                             deferred=assets_deferred)
-            asset_fetch = self._localckpt(asset_fetch, "asset_fetch")
+            # Three independent post-admission branches (all consume the
+            # just-checkpointed inserts/assets_allowed): the asset fetch,
+            # the next-frontier sequence assignment, and the Bloom build.
+            # Overlapped (§2.6) so each branch's driver latency and stage
+            # tails back-fill the others; sequential under GOSCRAPE_PARALLEL=0.
+            delta = inserts.select("dedup_key") \
+                           .withColumn("epoch", F.lit(epoch + 1))
+
+            def _assets_branch():
+                af = self._fetch_assets(assets_allowed, epoch,
+                                        deferred=assets_deferred)
+                return self._localckpt(af, "asset_fetch")
+
+            def _seq_branch():
+                # next frontier: page survivors ordered by the composite key
+                # (W2).  global_sequence range-partitions + offsets instead
+                # of a single-task global window once the epoch is wide
+                # enough; its scalable path already counted its partitions —
+                # reuse instead of an extra count() job.
+                from ..operators.ranking import global_sequence_with_total
+                seq_df, seq_total = global_sequence_with_total(
+                    survivors.filter(~F.col("is_asset"))
+                             .select("url", "depth", *ORDER_COLS),
+                    ORDER_COLS, start=next_seq, out_col="seq",
+                    parts=parts)
+                np_df = self._localckpt(
+                    seq_df.select("url", (F.col("depth") + 1).alias("depth"),
+                                  "seq"), "next_pages")
+                return np_df, (seq_total if seq_total is not None
+                               else np_df.count())
+
+            def _bloom_branch():
+                if self.bloom is not None:
+                    # distributed per-partition build, OR-merged driver-side
+                    self.bloom.add_keys_df(delta)
+
+            asset_fetch, (next_pages, n_next), _ = self._parallel(
+                _assets_branch, _seq_branch, _bloom_branch)
             fetch_logs.append(page_log)
             fetch_logs.append(asset_fetch.drop("body", "file_path"))
 
@@ -588,29 +633,7 @@ class Crawler:
             # first-wins window already guarantees one row per key, so no
             # distinct; the union stays lazy — every branch is a checkpoint,
             # so lineage is shallow and nothing recomputes.
-            delta = inserts.select("dedup_key") \
-                           .withColumn("epoch", F.lit(epoch + 1))
             seen = seen.unionByName(delta)
-            if self.bloom is not None:
-                # distributed per-partition build, OR-merged driver-side
-                self.bloom.add_keys_df(delta)
-
-            # next frontier: page survivors ordered by the composite key
-            # (W2).  global_sequence range-partitions + offsets instead of a
-            # single-task global window once the epoch is wide enough.
-            from ..operators.ranking import global_sequence_with_total
-            seq_df, seq_total = global_sequence_with_total(
-                survivors.filter(~F.col("is_asset"))
-                         .select("url", "depth", *ORDER_COLS),
-                ORDER_COLS, start=next_seq, out_col="seq",
-                parts=parts)
-            next_pages = seq_df.select(
-                "url", (F.col("depth") + 1).alias("depth"), "seq")
-            next_pages = self._localckpt(next_pages, "next_pages")
-            # the scalable sequence pass already counted its partitions —
-            # reuse instead of an extra count() job
-            n_next = seq_total if seq_total is not None \
-                else next_pages.count()
             next_seq += n_next
             frontier = next_pages
             n_frontier = n_next
@@ -691,6 +714,41 @@ class Crawler:
         return sim.should_download(self.seed, 0, False)
 
     _TIMING = os.environ.get("GOSCRAPE_TIMING", "") == "1"
+
+    # Overlap INDEPENDENT epoch actions (guide §2.6: actions are only
+    # sequential because driver code calls them sequentially): each thunk's
+    # jobs back-fill executors freed by the others' stage tails, and the
+    # ~50-100 ms per-job driver latency of the epoch's bookkeeping actions
+    # overlaps instead of summing.  InheritableThread propagates the JVM
+    # thread-locals (job group), so bench job accounting still sees every
+    # job.  GOSCRAPE_PARALLEL=0 restores the sequential loop.
+    _PARALLEL = os.environ.get("GOSCRAPE_PARALLEL", "1") == "1"
+
+    def _parallel(self, *thunks):
+        """Run callables concurrently in InheritableThreads; return their
+        results in order.  Falls back to sequential execution when disabled
+        or for a single thunk."""
+        if not self._PARALLEL or len(thunks) == 1:
+            return [t() for t in thunks]
+        from pyspark import InheritableThread
+        results: list = [None] * len(thunks)
+        errors: list = []
+
+        def work(i, fn):
+            try:
+                results[i] = fn()
+            except BaseException as e:  # surface the first failure
+                errors.append(e)
+
+        threads = [InheritableThread(target=work, args=(i, fn))
+                   for i, fn in enumerate(thunks)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        return results
 
     def _localckpt(self, df: DataFrame, label: str = "") -> DataFrame:
         # eager: truncate lineage AND materialize once — every epoch state is
@@ -815,7 +873,7 @@ class Crawler:
         if self._pages_slim_df is None:
             self._pages_slim_df = self.pages.select(
                 "url", F.col("body").isNotNull().alias("has_body"),
-                "retry_after").localCheckpoint(eager=True)
+                "retry_after", "resp_url").localCheckpoint(eager=True)
         return self._pages_slim_df
 
     def _pages_rows(self) -> int:
@@ -846,7 +904,7 @@ class Crawler:
         body-free slim fixture table (broadcast when it fits — a left join
         against the unique-url slim side never fans out)."""
         maxr = self.config.max_retries
-        slim = self._pages_slim()
+        slim = self._pages_slim().select("url", "has_body", "retry_after")
         if self._pages_broadcastable():
             slim = F.broadcast(slim)
         return (df.join(slim, on="url", how="left")
@@ -857,6 +915,38 @@ class Crawler:
                      .when(F.col("retry_after") > maxr, F.lit("exhausted"))
                      .otherwise(F.lit("ok")))
                 .drop("has_body", "retry_after"))
+
+    def _fetch_meta(self, frontier: DataFrame) -> DataFrame:
+        """Body-FREE fetch metadata for the mock seam: the per-epoch
+        ``fetched_meta`` checkpoint only feeds the fetch log and the
+        candidate page_meta, yet it used to be derived from the full
+        body-bearing fetch join — materializing it re-read every fixture
+        body block each epoch just to drop the column (checkpoint blocks
+        don't support projection pushdown).  This joins the frontier
+        against the slim (url, has_body, retry_after, resp_url) table
+        instead: identical rows (same when-chains as _mock_fetch_select /
+        _fetch), ~KB-scale scan instead of the full fixture (guide §2.3:
+        project before you materialize).  Column order matches
+        ``_fetch(...).drop('body')`` exactly."""
+        maxr = self.config.max_retries
+        slim = self._pages_slim()
+        if self._pages_broadcastable():
+            slim = F.broadcast(slim)
+        joined = frontier.select("url", "depth", "seq").join(
+            slim, on="url", how="left")
+        has_body = F.coalesce(F.col("has_body"), F.lit(False))
+        return joined.select(
+            F.col("url").alias("req_url"),
+            F.col("url").alias("page_url"),
+            F.coalesce(F.col("resp_url"), F.col("url")).alias("resp_url"),
+            F.col("depth"), F.col("seq"),
+            F.when(~has_body, F.lit("missing"))
+             .when(F.col("retry_after") > maxr, F.lit("exhausted"))
+             .otherwise(F.lit("ok")).alias("status"),
+            F.when(~has_body, F.lit(1))
+             .when(F.col("retry_after") > maxr, F.lit(maxr + 1))
+             .otherwise(F.coalesce(F.col("retry_after"), F.lit(0)) + 1)
+             .alias("attempts"))
 
     def _fetch(self, frontier: DataFrame, epoch: int) -> DataFrame:
         fetched = self._do_fetch(frontier.select("url"),
@@ -1007,9 +1097,10 @@ class Crawler:
         for _ in range(10):
             all_cands = candidates if css_cands is None \
                 else candidates.unionByName(css_cands)
-            inserts, survivors = admit(all_cands, seen, self.seed_host,
-                                       cfg.max_depth, cfg.includes,
-                                       cfg.excludes, bloom=self.bloom)
+            inserts, survivors = admit(
+                all_cands, seen, self.seed_host, cfg.max_depth, cfg.includes,
+                cfg.excludes, bloom=self.bloom,
+                materialize=lambda df: self._localckpt(df, "probed"))
             inserts = self._localckpt(inserts, "inserts")
             survivors = inserts.filter(F.col("survived"))
             if cfg.fetch_robots:
