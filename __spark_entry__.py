@@ -146,24 +146,29 @@ def q_urlnorm_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_admission_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: first-wins within the consideration order (doc_id)."""
+    """W1: first-wins within the consideration order (doc_id).
+
+    Computed as a min aggregate, not a row_number window: the
+    consideration order here IS doc_id, so the first-considered winner per
+    key is exactly min(doc_id) — a hash aggregate with map-side partial
+    combine instead of a full shuffle+sort per key (the same skew-proof
+    shape the crawl's admit() uses; guide §2.3 "aggregate before you
+    shuffle").  Identical rows."""
     k = _keyed(_docs(spark, sf_dir))
-    w = Window.partitionBy("dedup_key").orderBy("doc_id")
-    return (k.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("dedup_key", F.col("doc_id").alias("winner_doc")))
+    return (k.groupBy("dedup_key")
+            .agg(F.min("doc_id").alias("winner_doc")))
 
 
 def q_seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1/U3: candidate keys minus an already-seen table."""
+    """J1/U3: candidate keys minus an already-seen table.  Winners via the
+    same min-aggregate as q_admission_first_wins (no window sort)."""
     k = _keyed(_docs(spark, sf_dir))
-    w = Window.partitionBy("dedup_key").orderBy("doc_id")
-    winners = (k.withColumn("rn", F.row_number().over(w))
-               .filter(F.col("rn") == 1))
+    winners = (k.groupBy("dedup_key")
+               .agg(F.min("doc_id").alias("winner_doc")))
     seen = (k.filter(F.col("doc_id") < 100)
             .select("dedup_key").distinct())
-    return (winners.join(seen, "dedup_key", "left_anti")
-            .select("dedup_key", F.col("doc_id").alias("winner_doc")))
+    return winners.join(seen, "dedup_key", "left_anti") \
+                  .select("dedup_key", "winner_doc")
 
 
 def q_frontier_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,10 +302,19 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goscrape_spark.operators.textops import lang_id
+    """Staged: tokenize once -> hit-count array once -> tie-break chain.
+    Same values as the single-column lang_id; the staging stops Catalyst
+    from re-inlining the split/filter HOFs (which are CodegenFallback, no
+    subexpression elimination) into every tie-break branch."""
+    from goscrape_spark.operators.textops import (
+        lang_hits_from_words,
+        lang_pick,
+        words,
+    )
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    ws = _docs(spark, sf_dir).select("doc_id", words(F.col("text")).alias("_ws"))
+    hits = ws.select("doc_id", lang_hits_from_words(F.col("_ws")).alias("_h"))
+    return hits.select("doc_id", lang_pick(F.col("_h")).alias("lang_pred"))
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

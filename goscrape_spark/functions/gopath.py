@@ -22,6 +22,12 @@ def go_clean(p: str) -> str:
     """Go ``path.Clean``: normpath, with Clean("") == "."."""
     if p == "":
         return "."
+    # fast path: already clean (no "//", no "." segment — "/." catches both
+    # "/./" and "/../", a leading "." catches "./" and "../" — and no
+    # trailing slash normpath would strip).  normpath is identity there.
+    if ("//" not in p and "/." not in p and p[0] != "."
+            and (p[-1] != "/" or p == "/")):
+        return p
     out = posixpath.normpath(p)
     # posixpath.normpath collapses leading "//" to "//" (POSIX allows it);
     # Go path.Clean collapses it to "/".
@@ -60,9 +66,7 @@ def go_base(p: str) -> str:
 
 def go_ext(p: str) -> str:
     """Go ``path.Ext``: suffix from the final dot in the final element."""
-    for i in range(len(p) - 1, -1, -1):
-        if p[i] == "/":
-            return ""
-        if p[i] == ".":
-            return p[i:]
+    i = p.rfind(".")
+    if i > p.rfind("/"):  # a dot exists and lies in the final element
+        return p[i:]
     return ""

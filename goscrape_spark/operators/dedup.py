@@ -76,19 +76,30 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def _minhash_sig(text_col: str, num_perm: int, seed: int):
     """MinHash signature array: min over shingles of (a_i*h + b_i) mod p,
-    h = first 60 bits of md5(shingle).  Deterministic in ``seed``."""
+    h = first 60 bits of md5(shingle).  Deterministic in ``seed``.
+
+    Shape note (r6): the signature is ONE transform over a literal
+    (a, b)-coefficient array with the shingle-hash array ``hs`` referenced
+    once.  The previous ``F.array(*[array_min(transform(hs, ...)) for i in
+    range(num_perm)])`` inlined ``hs`` — shingling + md5 + base-16 conv per
+    shingle — into all ``num_perm`` sub-expressions, and higher-order
+    functions are CodegenFallback (no subexpression elimination), so the
+    shingle hashing ran 32x per row.  Values are identical (same
+    coefficients in the same order)."""
     rnd = _lcg(seed)
     # 28-bit hash x 31-bit coefficient stays < 2^60: no ANSI long overflow.
     h = lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     sh = F.array_distinct(shingles(F.col(text_col)))
     hs = F.transform(sh, h)
-    sigs = []
+    coeffs = []
     for i in range(num_perm):
         a = (next(rnd) & 0x7FFFFFFF) | 1
         b = next(rnd) & 0x7FFFFFFF
-        sigs.append(F.array_min(F.transform(
-            hs, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P))))
-    return F.array(*sigs)
+        coeffs.append(F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")))
+    return F.transform(
+        F.array(*coeffs),
+        lambda p: F.array_min(F.transform(
+            hs, lambda x: (x * p["a"] + p["b"]) % F.lit(_MERSENNE_P))))
 
 
 def _lcg(seed: int):
@@ -327,22 +338,28 @@ def near_dup_clusters(pairs: DataFrame, id1: str = "id1", id2: str = "id2",
               .localCheckpoint(eager=True))
     converged = False
     for _ in range(max_iter):
+        from pyspark.sql import Observation
+
         neigh = (edges.join(labels, edges["b"] == labels["node"])
                  .groupBy("a").agg(F.min("label").alias("nl")))
+        # a node's label changes iff a neighbor label undercuts it; count
+        # those rows as an Observation riding the checkpoint's own job —
+        # the separate join-new-vs-old existence probe was one extra
+        # driver job per round (guide §1.5 / the crawl's _observe pattern)
+        obs = Observation()
         new_labels = (labels.join(neigh, labels["node"] == neigh["a"],
                                   "left")
+                      .observe(obs, F.count(
+                          F.when(F.col("nl") < labels["label"], 1))
+                          .alias("changed"))
                       .select(labels["node"],
                               F.least(labels["label"],
                                       F.coalesce(F.col("nl"),
                                                  labels["label"]))
                               .alias("label"))
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .limit(1).count())
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             converged = True
             break
     if not converged:

@@ -42,8 +42,11 @@ def token_count_ws(text: Column) -> Column:
 
 
 def token_count_bpe(text: Column) -> Column:
-    """BPE-ish token count via the pre-tokenization regex (column expr)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+    """BPE-ish token count via the pre-tokenization regex (column expr).
+    regexp_count walks the same Java-regex matcher as
+    size(regexp_extract_all(...)) but never materializes the match strings
+    (~hundreds of allocations per document saved)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -65,13 +68,43 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def lang_hits_from_words(ws: Column) -> Column:
+    """Per-language stopword hit counts (STOPWORDS declaration order) over
+    an ALREADY-TOKENIZED word array.  Staging the tokenization into its own
+    projection matters: array HOFs are CodegenFallback (no subexpression
+    elimination), so lang_id's single-column form re-splits the text for
+    every language and re-evaluates the hit counts inside the nested
+    tie-break whens — 4-8 splits per row.  A multi-referenced non-trivial
+    alias blocks Catalyst's CollapseProject, so the split and each hit
+    count evaluate exactly once (guide §1.2 step 2)."""
+    def hit_count(stops):
+        return F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+
+    return F.array(*[
+        hit_count(F.array(*[F.lit(w) for w in STOPWORDS[lang]]))
+        for lang in STOPWORDS])
+
+
+def lang_pick(hits: Column) -> Column:
+    """lang_id's exact tie-break chain (first language wins on >) over a
+    precomputed hit-count array — cheap integer whens only."""
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for i, lang in enumerate(STOPWORDS):
+        h = hits[i]
+        better = h > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+    return best_lang
+
+
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: length band + punctuation sanity +
     stopword presence + mean word length band.  All column arithmetic;
     rounded to 4 decimals for cross-engine verification."""
     n_chars = F.length(text)
     n_words = token_count_ws(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?]"), 0))
+    n_punct = F.regexp_count(text, F.lit(r"[.,;:!?]"))
     stop_hits = stopword_hits(text, "en")
 
     len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), F.lit(1.0)) \

@@ -433,6 +433,19 @@ class Crawler:
         # the loop re-sets shuffle.partitions per epoch; stages that size
         # their own shuffles (sitemap bootstrap) need the session default
         self._default_parts = default_parts
+        # AQE is disabled for the LOOP's duration (restored after): the loop
+        # sizes every shuffle from per-epoch data volume itself, the
+        # post-aggregation join keys are unique (first-wins/fileExists
+        # groups — nothing for AQE's skew split to do), and the mock joins
+        # are explicitly gated broadcasts — so AQE's per-query-stage job
+        # submissions only added driver latency (measured r6: 39.8 -> 18.3
+        # jobs/epoch, wall flat-to-better; OPTIMIZATION_r06.md).  At
+        # production scale per-epoch jobs amortize and AQE back on is fine:
+        # GOSCRAPE_LOOP_AQE=1 keeps it enabled.
+        aqe_prev = None
+        if os.environ.get("GOSCRAPE_LOOP_AQE", "0") == "0":
+            aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
 
         # filesystem state for the fileExists asset skip
         # (scraper/download.go:76-79): one row per already-written path
@@ -528,8 +541,11 @@ class Crawler:
             # consumers (blockers union, first-ok agg, written delta) would
             # otherwise each re-scan the body-bearing processed blocks to
             # project two tiny columns.
-            page_paths = self._localckpt(
-                processed.select("file_path", "seq"), "page_paths")
+            # deferred: the first consumer (the fileExists admission) is
+            # several actions downstream, so this tiny checkpoint overlaps
+            # the admission chain instead of serializing before it
+            page_paths_d = self._deferred(lambda: self._localckpt(
+                processed.select("file_path", "seq"), "page_paths"))
 
             candidates = self._base_candidates(spans, page_meta)
             if epoch == 0 and cfg.use_sitemaps:
@@ -538,7 +554,8 @@ class Crawler:
                     candidates = candidates.unionByName(sm_cands)
 
             inserts, survivors, assets_allowed, assets_deferred = \
-                self._admission_fixpoint(candidates, seen, page_paths, written)
+                self._admission_fixpoint(candidates, seen, page_paths_d,
+                                         written)
 
             # record fetches: the page fetches of this epoch + admitted assets
             # pages are all seed-host (F5), so the robots Crawl-delay
@@ -577,9 +594,21 @@ class Crawler:
                            .withColumn("epoch", F.lit(epoch + 1))
 
             def _assets_branch():
-                af = self._fetch_assets(assets_allowed, epoch,
-                                        deferred=assets_deferred)
-                return self._localckpt(af, "asset_fetch")
+                af = self._localckpt(
+                    self._fetch_assets(assets_allowed, epoch,
+                                       deferred=assets_deferred),
+                    "asset_fetch")
+                # slim written-delta checkpoint: the lazy union chain used
+                # to reference the BODY-bearing asset_fetch blocks, so every
+                # later epoch's fileExists anti-join re-deserialized all
+                # prior epochs' asset payloads just to read file_path.  One
+                # tiny checkpoint per epoch keeps the chain body-free.
+                wd = self._localckpt(
+                    page_paths_d.get().select("file_path").unionByName(
+                        af.filter(F.col("status") == "ok")
+                          .select("file_path")),
+                    "written_delta")
+                return af, wd
 
             def _seq_branch():
                 # next frontier: page survivors ordered by the composite key
@@ -604,8 +633,8 @@ class Crawler:
                     # distributed per-partition build, OR-merged driver-side
                     self.bloom.add_keys_df(delta)
 
-            asset_fetch, (next_pages, n_next), _ = self._parallel(
-                _assets_branch, _seq_branch, _bloom_branch)
+            (asset_fetch, written_delta), (next_pages, n_next), _ = \
+                self._parallel(_assets_branch, _seq_branch, _bloom_branch)
             fetch_logs.append(page_log)
             fetch_logs.append(asset_fetch.drop("body", "file_path"))
 
@@ -621,12 +650,9 @@ class Crawler:
 
             # filesystem-state accumulation: every ok page write + every ok
             # (unblocked) asset write becomes an existing file for later
-            # epochs' fileExists admission.  Lazy union of projections of
-            # checkpointed frames — duplicates are harmless for the
+            # epochs' fileExists admission.  Slim per-epoch checkpoints
+            # (built in _assets_branch) — duplicates are harmless for the
             # anti-join, so no distinct shuffle.
-            written_delta = page_paths.select("file_path").unionByName(
-                asset_fetch.filter(F.col("status") == "ok")
-                           .select("file_path"))
             written = written.unionByName(written_delta)
 
             # seen append (insert-before-reject: ALL admitted keys).  The
@@ -668,6 +694,8 @@ class Crawler:
             epoch += 1
 
         spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+        if aqe_prev is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
         empty_log = self.spark.createDataFrame(
             [], "url string, kind string, not_before_ms bigint, status string,"
@@ -723,6 +751,39 @@ class Crawler:
     # thread-locals (job group), so bench job accounting still sees every
     # job.  GOSCRAPE_PARALLEL=0 restores the sequential loop.
     _PARALLEL = os.environ.get("GOSCRAPE_PARALLEL", "1") == "1"
+
+    def _deferred(self, fn):
+        """Start ``fn`` on an InheritableThread now; ``.get()`` joins and
+        returns its result (re-raising any failure).  Used to overlap a
+        checkpoint whose consumer is several actions downstream."""
+        if not self._PARALLEL:
+            class _Now:
+                def __init__(self, v):
+                    self._v = v
+
+                def get(self):
+                    return self._v
+            return _Now(fn())
+        from pyspark import InheritableThread
+
+        box: dict = {}
+
+        def work():
+            try:
+                box["v"] = fn()
+            except BaseException as e:
+                box["e"] = e
+
+        t = InheritableThread(target=work)
+        t.start()
+
+        class _Pending:
+            def get(self):
+                t.join()
+                if "e" in box:
+                    raise box["e"]
+                return box["v"]
+        return _Pending()
 
     def _parallel(self, *thunks):
         """Run callables concurrently in InheritableThreads; return their
@@ -1076,7 +1137,7 @@ class Crawler:
 
     # ------------------------------------------------------------------
     def _admission_fixpoint(self, candidates: DataFrame, seen: DataFrame,
-                            page_paths: DataFrame, written: DataFrame):
+                            page_paths_d, written: DataFrame):
         """Admission + in-epoch CSS discovery fixpoint (see module doc).
 
         Returns ``(inserts, survivors, assets_allowed, assets_deferred)``:
@@ -1122,7 +1183,8 @@ class Crawler:
                 from ..operators.politeness import apply_robots_rfc
                 survivors = apply_robots_rfc(survivors, self.robots_rfc)
             allowed, deferred = self._fs_admit(
-                survivors.filter(F.col("is_asset")), page_paths, written)
+                survivors.filter(F.col("is_asset")), page_paths_d.get(),
+                written)
             link_surv = allowed.filter(F.col("stage_rank") == 1)
             # the signature rode the assets_allowed checkpoint's job
             # (Observation) — no extra driver action here
@@ -1210,7 +1272,18 @@ class Crawler:
             #      extra joins.  file_path groups are near-unique, so the
             #      window has no skew.
             fresh = aw.join(written, "file_path", "left_anti")
-            if self._pages_rows() <= 5_000_000:
+            # Page writes only matter inside window groups that contain at
+            # least one asset row (the post-window filter keeps asset rows
+            # only), so page_w can be pre-filtered to paths colliding with
+            # an admitted asset.  Size-gated broadcast semi-join: the
+            # asset-path set is re-derived from the checkpointed inserts
+            # (cheap column exprs) and broadcast while the epoch is small
+            # enough; beyond the gate the full union shape stands.  This
+            # keeps the epoch's page-path volume (the larger side) out of
+            # the window exchange+sort entirely (guide §2.3).
+            if self._n_frontier <= 200_000:
+                page_w = page_w.join(F.broadcast(aw.select("file_path")),
+                                     "file_path", "left_semi")
                 # status via the body-free slim table (broadcast join — the
                 # collision logic never needs the payload bytes)
                 cs = self._attach_mock_status(fresh)
