@@ -325,10 +325,11 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goscrape_spark.operators.textops import fingerprint
+    """Arrow batch form of select(doc_id, fingerprint(text)) — identical
+    values (JVM tokenization + hashlib md5 hexdigest == Spark md5)."""
+    from goscrape_spark.operators.textops import fingerprint_from_words
 
-    return _docs(spark, sf_dir).select(
-        "doc_id", fingerprint(F.col("text")).alias("fp"))
+    return fingerprint_from_words(_docs(spark, sf_dir))
 
 
 def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,7 +21,7 @@ batches — never as a row-at-a-time Python UDF.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from typing import NamedTuple
 from urllib.parse import urlsplit
 
 from pyspark.sql import Column
@@ -32,13 +32,16 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class GoURL:
+class GoURL(NamedTuple):
     """Component view of a URL matching Go ``net/url.URL`` closely enough for
     the reference's fixtures: scheme, host (netloc), path, query, fragment.
 
     ``opaque`` carries the scheme-specific part of non-hierarchical URIs
     (``data:``, ``mailto:``) so they round-trip unmodified.
+
+    NamedTuple rather than a frozen dataclass: these are constructed ~85x
+    per page inside the hot Arrow stage, and frozen-dataclass ``__init__``
+    (object.__setattr__ per field) measurably lags tuple construction.
     """
 
     scheme: str = ""
@@ -111,7 +114,7 @@ def resolve_reference(base: GoURL, ref: GoURL) -> GoURL:
     if ref.scheme != "" or ref.host != "":
         scheme = ref.scheme or base.scheme
         if ref.opaque:
-            return replace(ref, scheme=scheme)
+            return ref._replace(scheme=scheme)
         path = _remove_dot_segments(ref.path) if ref.path else ""
         return GoURL(scheme=scheme, host=ref.host, path=path,
                      query=ref.query, fragment=ref.fragment)

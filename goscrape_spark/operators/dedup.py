@@ -112,8 +112,54 @@ def _lcg(seed: int):
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 32,
                        seed: int = 42) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"),
-                     _minhash_sig(text_col, num_perm, seed).alias("sig"))
+    """(id, sig) MinHash signatures.
+
+    Arrow/NumPy batch path (r6, guide §4.2 — same pattern as the SimHash
+    operator): tokenization stays the identical JVM split (Java vs Python
+    ``\\s`` semantics differ), while shingle assembly, the md5-derived
+    28-bit hash (identical hex prefix via hashlib) and all ``num_perm``
+    permutation mins run vectorized in C/NumPy.  The previous pure-column
+    form evaluated the (a*h+b) mod p min per permutation through
+    interpreted Catalyst HOFs (CodegenFallback, per-element overhead).
+    Values are bit-identical (same coefficients, same 2^59 bound — no
+    int64 overflow); ``_minhash_sig`` remains as the column-expression
+    reference implementation."""
+    from typing import Iterator
+
+    rnd = _lcg(seed)
+    coeffs = [((next(rnd) & 0x7FFFFFFF) | 1, next(rnd) & 0x7FFFFFFF)
+              for _ in range(num_perm)]
+    tokens = df.select(F.col(id_col).alias("id"),
+                       words(F.col(text_col)).alias("_ws"))
+    id_type = tokens.schema["id"].dataType.simpleString()
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+        for pdf in batches:
+            sigs = []
+            for ws in pdf["_ws"]:
+                if ws is None:
+                    sigs.append(None)
+                    continue
+                toks = list(ws)
+                k = len(toks) - 2
+                if k <= 0:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i:i + 3]) for i in range(k)}
+                hs = np.fromiter(
+                    (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:7], 16)
+                     for s in sh), dtype=np.int64, count=len(sh))
+                sigs.append(((hs[None, :] * A + B) % _MERSENNE_P).min(axis=1))
+            yield pd.DataFrame({"id": pdf["id"], "sig": sigs})
+
+    return tokens.mapInPandas(run, schema=f"id {id_type}, sig array<bigint>")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",

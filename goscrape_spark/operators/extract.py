@@ -30,8 +30,7 @@ from __future__ import annotations
 
 import html as _htmlmod
 import re
-from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,8 +69,9 @@ _ATTR_RE = re.compile(
 )
 
 
-@dataclass(frozen=True)
-class Attr:
+# NamedTuples, not frozen dataclasses: constructed per attr/tag/span in the
+# hot Arrow stage, where frozen-dataclass __init__ overhead is measurable.
+class Attr(NamedTuple):
     name: str
     value: str      # entity-decoded raw value (NOT trimmed)
     vstart: int     # raw value span in document text (excludes quotes)
@@ -79,8 +79,7 @@ class Attr:
     quote: str      # '"', "'", or '' for unquoted/value-less
 
 
-@dataclass(frozen=True)
-class Tag:
+class Tag(NamedTuple):
     name: str
     attrs: tuple[Attr, ...]
     start: int
@@ -90,8 +89,7 @@ class Tag:
     content_end: int = -1
 
 
-@dataclass(frozen=True)
-class Span:
+class Span(NamedTuple):
     kind: str
     text: str
     media_ref: str

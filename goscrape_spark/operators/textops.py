@@ -135,6 +135,47 @@ def fingerprint(text: Column, n: int = 3) -> Column:
     return F.array_min(F.transform(shingles(text, n), F.md5))
 
 
+def fingerprint_from_words(df, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3):
+    """fingerprint() as an Arrow batch over JVM-tokenized words (guide
+    §4.2): tokenization stays the identical JVM ``split(lower(trim(.)),
+    '\\s+')`` (Java vs Python ``\\s`` semantics differ, so the split must
+    not move), while shingle assembly + md5 + min run in C
+    (str.join/hashlib) instead of interpreted Catalyst HOFs, which
+    evaluate per element with no codegen.  hexdigest is byte-identical to
+    Spark md5(); ASCII hex makes Python ``min`` == UTF8-binary array_min.
+    Returns (id_col, fp) — same values as
+    ``select(id, fingerprint(text))``."""
+    from typing import Iterator
+
+    tokens = df.select(F.col(id_col), words(F.col(text_col)).alias("_ws"))
+    out_schema = f"{id_col} {df.schema[id_col].dataType.simpleString()}, " \
+                 "fp string"
+
+    def run(batches) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            fps = []
+            for ws in pdf["_ws"]:
+                if ws is None:
+                    fps.append(None)
+                    continue
+                toks = list(ws)
+                k = len(toks) - (n - 1)
+                if k <= 0:
+                    gen = [" ".join(toks)]
+                else:
+                    gen = (" ".join(toks[i:i + n]) for i in range(k))
+                fps.append(min(hashlib.md5(s.encode("utf-8")).hexdigest()
+                               for s in gen))
+            yield pd.DataFrame({id_col: pdf[id_col], "fp": fps})
+
+    return tokens.mapInPandas(run, schema=out_schema)
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass profile: tokens, bpe tokens, lang, quality, fingerprint."""
     t = F.col(text_col)

@@ -1473,7 +1473,12 @@ class Crawler:
             # assets_allowed checkpoint — no count() job
             n_allowed = self._fs_obs.get["n_allowed"] \
                 if self._fs_obs is not None else allowed.count()
-            fetched = self._do_fetch(allowed.select("url").distinct(),
+            # allowed urls are unique by construction: first-wins admission
+            # keeps one row per dedup_key and the key is a deterministic
+            # function of the url, so two rows can never share a url — the
+            # old .distinct() here was a pure extra shuffle (guide §2.4:
+            # "a distinct on data that is already unique")
+            fetched = self._do_fetch(allowed.select("url"),
                                      approx_rows=n_allowed) \
                           .select("url", "body", "status", "attempts")
             joined = self._schedule(allowed).join(fetched, on="url", how="left")
