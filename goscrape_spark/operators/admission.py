@@ -68,8 +68,7 @@ def _regex_filter(path: Column, includes: list[str], excludes: list[str]) -> Col
 
 def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
           max_depth: int, includes: list[str],
-          excludes: list[str], bloom=None,
-          materialize=None) -> tuple[DataFrame, DataFrame]:
+          excludes: list[str], bloom=None) -> tuple[DataFrame, DataFrame]:
     """Run epoch admission.
 
     ``candidates`` needs columns: url (fragment-free), is_asset boolean,
@@ -82,17 +81,18 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
       - survivors: the subset of inserts that also passes the action filters
         and should actually be fetched/enqueued.
 
-    ``bloom`` (operators.seen.SeenSet, optional): pre-filter so that
-    definitely-new keys never shuffle against the big seen table; only
-    maybe-seen rows pay the anti-join.  Exactness is unaffected (no false
-    negatives; false positives just probe the join).
-
-    ``materialize`` (optional ``df -> df``, e.g. the crawler's labelled
-    localCheckpoint): materializes the probed frame ONCE before the
-    surely-new/maybe-seen split.  Without it the two union branches each
-    re-evaluate the aggregate-final + Arrow probe above the reused
-    exchange (plan-verified: the probe accumulators counted every row
-    twice), doubling the Python-boundary work per epoch (guide §4.1).
+    ``bloom`` (operators.seen.SeenSet, optional): pre-filter so that only
+    maybe-seen rows are COMPARED against the big seen table.  Shape (r6):
+    one left_anti join whose condition is ``key-equal AND might_contain``
+    — the residual keeps bloom-certified-new rows unconditionally (the
+    filter has no false negatives, so such a key cannot be in ``seen``)
+    while maybe-seen rows pay the real key comparison.  The probe column
+    is consumed exactly once with no materialization; the previous
+    surely-new/maybe-seen union re-evaluated the aggregate-final + Arrow
+    probe in both branches above the reused exchange (the probe
+    accumulators counted every row twice, guide §4.1), and fixing THAT
+    with a checkpoint cost one extra driver job per epoch.  Exactness is
+    unaffected (no false negatives; false positives just pay a compare).
 
     The two returned frames share one physical plan (survivors = filter of
     inserts on the ``survived`` flag) so callers can checkpoint ``inserts``
@@ -133,12 +133,11 @@ def admit(candidates: DataFrame, seen: DataFrame, seed_host: str,
         inserts = first.join(seen_keys, on="dedup_key", how="left_anti")
     else:
         probed = bloom.probe_df(first)
-        if materialize is not None:
-            probed = materialize(probed)
-        surely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
-        maybe_seen = probed.filter(F.col("might_contain")).drop("might_contain")
-        inserts = surely_new.unionByName(
-            maybe_seen.join(seen_keys, on="dedup_key", how="left_anti"))
+        sk = seen_keys.select(F.col("dedup_key").alias("_seen_key"))
+        inserts = probed.join(
+            sk, (probed["dedup_key"] == F.col("_seen_key"))
+                & probed["might_contain"],
+            "left_anti").drop("might_contain")
 
     page_ok = (F.col("host") == F.lit(seed_host))
     if max_depth != 0:

@@ -521,9 +521,6 @@ class Crawler:
             else:
                 processed = self._localckpt(processed_lazy, "processed")
             pages_ok_meta = fetched_meta.filter(F.col("status") == "ok")
-            # candidate spans: JVM-side explode of the per-page ref array
-            spans = (processed.select("url", F.explode("refs").alias("r"))
-                     .select("url", "r.*"))
 
             page_meta = pages_ok_meta.select(
                 F.col("page_url"), F.col("seq").alias("parent_seq"),
@@ -547,7 +544,16 @@ class Crawler:
             page_paths_d = self._deferred(lambda: self._localckpt(
                 processed.select("file_path", "seq"), "page_paths"))
 
-            candidates = self._base_candidates(spans, page_meta)
+            if n_frontier <= self.CANDIDATES_BROADCAST_MAX:
+                # shuffle-free: per-tag arrays built on the page row, tiny
+                # meta broadcast (see _candidates_fast)
+                candidates = self._candidates_fast(processed, page_meta)
+            else:
+                # beyond the broadcast gate: the explode + re-aggregate
+                # shape (equivalent rows; shuffles on url)
+                spans = (processed.select("url", F.explode("refs").alias("r"))
+                         .select("url", "r.*"))
+                candidates = self._base_candidates(spans, page_meta)
             if epoch == 0 and cfg.use_sitemaps:
                 sm_cands = self._sitemap_candidates()
                 if sm_cands is not None:
@@ -1046,6 +1052,59 @@ class Crawler:
                        F.lit(row.resp_url)).otherwise(F.col("page_url")))
         return fetched
 
+    # frontier sizes above this fall back from the shuffle-free candidate
+    # fast path (per-page array ops + broadcast page-meta join) to the
+    # explode + re-aggregate shape: the broadcast side is one small row per
+    # frontier page, so the gate bounds executor memory like the mock gate
+    CANDIDATES_BROADCAST_MAX = int(os.environ.get(
+        "GOSCRAPE_CAND_BROADCAST_MAX", 2_000_000))
+
+    def _candidates_fast(self, processed: DataFrame,
+                         page_meta: DataFrame) -> DataFrame:
+        """_base_candidates without the explode + re-aggregate shuffle.
+
+        The fused pass already returns refs AS AN ARRAY PER PAGE;
+        _base_candidates explodes them into one row per ref and then
+        groupBy(url)s them straight back into per-tag arrays — at the
+        100k-page bench epoch that is a ~2M-row, every-ref-column shuffle
+        per epoch to recompute locality the data already had (guide §2.4:
+        remove shuffles outright).  This path builds the per-tag distinct
+        sorted arrays with array functions on the page row (no exchange)
+        and broadcast-joins the tiny (page_url, parent_seq, depth) meta.
+        Row-identical to _base_candidates (pinned by
+        tests/test_round6_candidates_fast.py): filter+array_distinct+
+        array_sort ≡ collect_set(when(...))+array_sort per tag, pages
+        with no refs contribute zero rows through either shape, and the
+        per-tag intra1 indices come from the same sorted arrays."""
+        from ..operators.extract import TAG_BY_KIND
+
+        tag_expr = F.create_map(*[F.lit(x) for kv in TAG_BY_KIND.items()
+                                  for x in kv])
+
+        def refs_for(tag: str):
+            return F.array_sort(F.array_distinct(F.transform(
+                F.filter(
+                    F.col("refs"),
+                    lambda r: (r["media_ref"] != "")
+                    & (tag_expr[r["kind"]] == F.lit(tag))),
+                lambda r: F.struct(
+                    r["media_ref"].alias("media_ref"),
+                    r["ref_no_frag"].alias("ref_no_frag"),
+                    r["scheme"].alias("scheme"),
+                    r["host"].alias("host"),
+                    r["path"].alias("path"),
+                    r["dedup_key"].alias("dedup_key")))))
+
+        per_page = processed.select(
+            "url",
+            refs_for("link").alias("link"), refs_for("script").alias("script"),
+            refs_for("body").alias("body"), refs_for("style").alias("style"),
+            refs_for("img").alias("img"), refs_for("a").alias("a"))
+        pm = F.broadcast(page_meta)
+        per_page = per_page.join(
+            pm, per_page["url"] == pm["page_url"], "inner").drop("url")
+        return self._stage_explode(per_page)
+
     # ------------------------------------------------------------------
     def _base_candidates(self, spans: DataFrame, page_meta: DataFrame) -> DataFrame:
         """Ranks 1-4 (link/script/body/style assets), 5 (images: body dups +
@@ -1088,7 +1147,13 @@ class Crawler:
         pm = page_meta
         per_page = per_page.join(
             pm, per_page["url"] == pm["page_url"], "inner").drop("url")
+        return self._stage_explode(per_page)
 
+    @staticmethod
+    def _stage_explode(per_page: DataFrame) -> DataFrame:
+        """Shared tail of the two candidate builders: per-tag sorted arrays
+        -> one concatenated struct array -> JVM-side explode in stage-rank
+        order (CAND_SCHEMA columns)."""
         def stage(col, rank: int, is_asset: bool, stage_name: str):
             return F.transform(
                 col, lambda x, i: F.struct(
@@ -1158,10 +1223,9 @@ class Crawler:
         for _ in range(10):
             all_cands = candidates if css_cands is None \
                 else candidates.unionByName(css_cands)
-            inserts, survivors = admit(
-                all_cands, seen, self.seed_host, cfg.max_depth, cfg.includes,
-                cfg.excludes, bloom=self.bloom,
-                materialize=lambda df: self._localckpt(df, "probed"))
+            inserts, survivors = admit(all_cands, seen, self.seed_host,
+                                       cfg.max_depth, cfg.includes,
+                                       cfg.excludes, bloom=self.bloom)
             inserts = self._localckpt(inserts, "inserts")
             survivors = inserts.filter(F.col("survived"))
             if cfg.fetch_robots:
@@ -1377,9 +1441,15 @@ class Crawler:
         meta = link_surv.select("url", "page_url", "parent_seq",
                                 F.col("intra1").alias("link_intra"), "depth")
         link_urls = meta.select("url").distinct()
-        link_fetch = self._do_fetch(
-            link_urls,
-            approx_rows=None if self.live else link_urls.count())
+        # broadcast gate sizing: the observed link-row count (an upper
+        # bound on the distinct url set) rode the assets_allowed
+        # checkpoint's job — the count() here was one extra driver job
+        # per fixpoint round
+        approx = None
+        if not self.live:
+            approx = self._fs_obs.get["n_link"] if self._fs_obs is not None \
+                else link_urls.count()
+        link_fetch = self._do_fetch(link_urls, approx_rows=approx)
         if self.live:
             # cache the real GETs so _fetch_assets reuses the bodies instead
             # of re-fetching every stylesheet (the reference fetches a link
