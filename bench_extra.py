@@ -10,9 +10,15 @@ cited in OPTIMIZATION_r*.md.  Components:
 * ``plans``: dump .explain("formatted") for each declared query to
   plans/r06/<name>_{before,after}.txt (pass a suffix).
 
+* ``bloom_crossover``: VERDICT r5 ask #7 — admission wall time and probe
+  counts, Bloom on vs off, as the seen table grows (10^5..10^7 keys).
+  The candidate side is fixed; what grows is the exact table the
+  anti-join compares against.
+
 Usage:
     python bench_extra.py queries [rep_count] [only,names]
     python bench_extra.py plans <suffix> [only,names]
+    python bench_extra.py bloom_crossover
 """
 
 from __future__ import annotations
@@ -81,6 +87,74 @@ def dump_plans(suffix: str, only: set[str]) -> None:
     spark.stop()
 
 
+def bloom_crossover() -> None:
+    """Admission (admit()) wall time bloom-on vs bloom-off while the seen
+    table grows, candidates fixed at 400k rows with ~16% true dupes —
+    the bench headline's measured maybe-seen rate.  Each cell is
+    min-of-3 re-executions of the same lazy plan (codegen paid by an
+    untimed first run).  Also reports the probe accumulators (anti-join
+    input reduction) for the on-arm."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from goscrape_spark.operators.admission import admit
+    from goscrape_spark.operators.seen import SeenSet
+
+    spark = _session()
+    n_cand = 400_000
+    cand = spark.range(n_cand).select(
+        F.concat(F.lit("/k"), (F.col("id") % int(n_cand * 0.84))
+                 .cast("string")).alias("url"),
+        F.lit("https").alias("scheme"), F.lit("h.example.com").alias("host"),
+        F.concat(F.lit("/k"), (F.col("id") % int(n_cand * 0.84))
+                 .cast("string")).alias("path"),
+        F.lit(True).alias("is_asset"), F.lit(1).alias("depth"),
+        F.col("id").alias("parent_seq"), F.lit(1).alias("stage_rank"),
+        F.lit(0).alias("sub_rank"), F.col("id").cast("int").alias("intra1"),
+        F.lit(0).alias("intra2"), F.lit("image").alias("stage"),
+        F.concat(F.lit("/k"), (F.col("id") % int(n_cand * 0.84))
+                 .cast("string")).alias("dedup_key"),
+    ).localCheckpoint(eager=True)
+    out = {"n_candidates": n_cand, "cells": []}
+    for n_seen in (100_000, 1_000_000, 5_000_000, 10_000_000):
+        seen = spark.range(n_seen).select(
+            F.concat(F.lit("/k"), (F.col("id") % 16).cast("string"),
+                     F.lit("s"), F.col("id").cast("string"))
+             .alias("dedup_key"),
+            F.lit(0).alias("epoch"))
+        # plant true duplicates: ~16% of candidate keys are in seen
+        seen = seen.unionByName(
+            cand.filter(F.col("parent_seq") % 6 == 0)
+                .select("dedup_key", F.lit(0).alias("epoch"))) \
+            .localCheckpoint(eager=True)
+        bloom = SeenSet(n_expected=max(n_seen, 1_000_000))
+        bloom.enable_stats(spark.sparkContext)
+        bloom.add_keys_df(seen)
+        cell = {"n_seen": n_seen}
+        for arm, bf in (("off", None), ("on", bloom)):
+            inserts, _ = admit(cand, seen, "h.example.com", 0, [], [],
+                               bloom=bf)
+            inserts.write.format("noop").mode("overwrite").save()  # untimed
+            secs = []
+            for _ in range(3):
+                t0 = time.time()
+                inserts.write.format("noop").mode("overwrite").save()
+                secs.append(round(time.time() - t0, 3))
+            cell[f"{arm}_sec"] = min(secs)
+            cell[f"{arm}_runs"] = secs
+        if bloom.probe_total is not None:
+            total, hits = bloom.probe_total.value, bloom.probe_hits.value
+            cell["probed"] = total
+            cell["maybe_seen"] = hits
+            cell["certified_new_pct"] = round(
+                100.0 * (total - hits) / max(total, 1), 2)
+        out["cells"].append(cell)
+        print(cell, flush=True)
+    print("BLOOM_CROSSOVER " + json.dumps(out))
+    spark.stop()
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     mode = sys.argv[1] if len(sys.argv) > 1 else "queries"
@@ -88,6 +162,8 @@ if __name__ == "__main__":
         suffix = sys.argv[2]
         only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
         dump_plans(suffix, only)
+    elif mode == "bloom_crossover":
+        bloom_crossover()
     else:
         reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
         only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
