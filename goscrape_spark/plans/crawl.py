@@ -450,10 +450,14 @@ class Crawler:
         # filesystem state for the fileExists asset skip
         # (scraper/download.go:76-79): one row per already-written path
         written = spark.createDataFrame([], "file_path string")
+        # safe OVERestimate of written's row count (pages + allowed assets
+        # accumulated per epoch) — gates the broadcast fileExists anti-join
+        self._written_rows = 0
         if resumed is not None and self.checkpoint is not None:
             w = self.checkpoint.resume_written(spark)
             if w is not None:
                 written = w
+                self._written_rows = written.count()
 
         self._live_fetch_cache = None
         while epoch < self.max_epochs:
@@ -660,6 +664,12 @@ class Crawler:
             # (built in _assets_branch) — duplicates are harmless for the
             # anti-join, so no distinct shuffle.
             written = written.unionByName(written_delta)
+            if self._fs_obs is not None:
+                # overestimate: every frontier page + every allowed asset
+                self._written_rows += n_frontier + \
+                    int(self._fs_obs.get["n_allowed"])
+            else:
+                self._written_rows = self.WRITTEN_BROADCAST_MAX + 1
 
             # seen append (insert-before-reject: ALL admitted keys).  The
             # first-wins window already guarantees one row per key, so no
@@ -1059,6 +1069,13 @@ class Crawler:
     CANDIDATES_BROADCAST_MAX = int(os.environ.get(
         "GOSCRAPE_CAND_BROADCAST_MAX", 2_000_000))
 
+    # written-path rows above this fall back from the broadcast fileExists
+    # anti-join (neither side shuffles) to the shuffle join; the loop
+    # tracks a safe overestimate (pages + allowed assets per epoch).  At
+    # production scale `written` is bucketed by file_path instead.
+    WRITTEN_BROADCAST_MAX = int(os.environ.get(
+        "GOSCRAPE_WRITTEN_BROADCAST_MAX", 1_000_000))
+
     def _candidates_fast(self, processed: DataFrame,
                          page_meta: DataFrame) -> DataFrame:
         """_base_candidates without the explode + re-aggregate shuffle.
@@ -1335,7 +1352,14 @@ class Crawler:
             #      collision-pre-filter fast path semantics without its
             #      extra joins.  file_path groups are near-unique, so the
             #      window has no skew.
-            fresh = aw.join(written, "file_path", "left_anti")
+            # size-gated broadcast: while the written-path table is small
+            # its anti-join needs no exchange on either side (guide §3.1);
+            # past the gate the shuffle join stands (production: bucketed)
+            wr = written
+            if getattr(self, "_written_rows", None) is not None \
+                    and self._written_rows <= self.WRITTEN_BROADCAST_MAX:
+                wr = F.broadcast(written)
+            fresh = aw.join(wr, "file_path", "left_anti")
             # Page writes only matter inside window groups that contain at
             # least one asset row (the post-window filter keeps asset rows
             # only), so page_w can be pre-filtered to paths colliding with
